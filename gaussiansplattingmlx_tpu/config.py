@@ -1,0 +1,191 @@
+"""Single source of truth for every hyperparameter and constant of the framework.
+
+The reference scatters its configuration between SwiftUI state and hard-coded
+Swift defaults (see /root/reference GaussianSplattingMlx/UI/TrainView.swift:206-215,
+Trainer/GaussianTrainer.swift:277-300, Trainer/GaussianModel.swift:56-65,
+Trainer/CameraUtil.swift:21-22).  Here everything lives in explicit dataclasses
+so a training run is fully described by one `TrainConfig`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizerConfig:
+    """Static-shape rasterizer / tile-binning configuration.
+
+    The reference computes `totalPairs` and `maxTilePairs` with host syncs
+    (GaussianRenderer.swift:398-409,462) which is impossible under `jax.jit`;
+    instead we use static capacities with overflow reporting.
+    """
+
+    # Pixel tile size.  The reference trains with a 4x4 grid of giant tiles
+    # (ColmapDataLoader.swift:494-499) and renders with 64x64; on TPU 32x32
+    # maps each tile onto a single (8, 128) vector register set.
+    tile_h: int = 32
+    tile_w: int = 32
+    # Max tiles a single Gaussian may be binned into (static per-Gaussian
+    # expansion).  Gaussians touching more tiles keep the first
+    # `max_tiles_per_gaussian` tiles in row-major order; an overflow counter
+    # is reported so capacity can be raised.
+    max_tiles_per_gaussian: int = 64
+    # Global (gaussian, tile) pair budget for the depth sort.
+    max_pairs: int = 2 ** 21  # 2M pairs
+    # Gaussian records processed per inner chunk of the Pallas kernel.
+    chunk_size: int = 128
+    # Compositing constants (tile_global_kernels.slang:453-455,599).
+    alpha_clamp: float = 0.99
+    transmittance_eps: float = 1e-4
+    undo_denom_floor: float = 1e-6
+    # Projection constants (gaussian_projection_screen_shared.slang).
+    ndc_w_eps: float = 1e-6
+    z_cull: float = 0.2  # gaussian_projection_kernels.slang:63
+    cov2d_dilation: float = 0.3  # low-pass filter added to cov2d diagonal
+    tanfov_clip: float = 1.3
+    radius_eigen_eps: float = 1e-5
+    quat_norm_eps: float = 1e-8
+    # Backend: "pallas" (TPU), "reference" (pure-JAX oracle).  "auto" picks
+    # pallas on TPU and the oracle elsewhere.
+    backend: str = "auto"
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    sh_degree: int = 4  # TrainView.swift:171
+    init_opacity: float = 0.1  # GaussianModel.swift:114
+    knn_k: int = 3  # GaussianModel.swift:106
+    dist2_floor: float = 1e-7  # GaussianModel.swift:105-108
+    # Fixed parameter capacity (number of Gaussian slots).  Buffers are padded
+    # to the next capacity bucket; growth doubles capacity so XLA recompiles
+    # only O(log) times over a run.
+    initial_capacity: int = 2 ** 14
+    max_gaussians: int = 1_000_000  # GaussianTrainer.swift:300
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Adam exactly as the reference wires MLXOptimizers.Adam
+    (GaussianTrainer.swift:941-945): no bias correction, eps inside the
+    denominator, per-parameter learning rates."""
+
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-15
+    bias_correction: bool = False
+    # Per-parameter LR table (GaussianModel.swift:56-65); xyz decays linearly
+    # from lr_xyz to lr_xyz*0.01 over the run.
+    lr_xyz: float = 1.6e-4
+    lr_features_dc: float = 2.5e-3
+    lr_features_rest: float = 2.5e-3 / 20.0
+    lr_scales: float = 5e-3
+    lr_rotation: float = 1e-3
+    lr_opacity: float = 2.5e-2
+    xyz_lr_floor: float = 0.01  # max(1 - t, 0.01)
+
+
+@dataclasses.dataclass(frozen=True)
+class DensifyConfig:
+    """Split/clone/prune rules (GaussianTrainer.swift:293-300,766-908)."""
+
+    interval: int = 100
+    from_iter: int = 500
+    until_iter: int = 15000
+    grad_threshold: float = 2e-4
+    max_scale: float = 0.01  # world units; split if max(exp(scale)) above
+    min_opacity: float = 5e-3
+    split_scale_div: float = 1.6  # scales -= log(1.6) on split
+    split_noise_factor: float = 0.1
+    clone_noise_std: float = 0.01
+    # The reference re-creates fresh Adam state after every densify
+    # (GaussianTrainer.swift:1105-1110), deviating from INRIA.  Keep as a
+    # switch for behavioural parity.
+    reset_optimizer_state: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    lambda_dssim: float = 0.2  # GaussianTrainer.swift:277
+    lambda_depth: float = 0.0  # GaussianTrainer.swift:280
+    ssim_window: int = 11
+    ssim_sigma: float = 1.5
+    ssim_c1: float = 0.01 ** 2
+    ssim_c2: float = 0.03 ** 2
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    znear: float = 0.1  # CameraUtil.swift:21
+    zfar: float = 100.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Distribution layer — new design, no reference counterpart (SURVEY §2.4).
+
+    Data parallelism shards the camera batch across `data` mesh devices with
+    Gaussian parameters replicated and gradients psum'd over ICI.  `tile`
+    sharding splits the pixel-tile grid of a single camera for very large
+    renders."""
+
+    data_axis: str = "data"
+    tile_axis: str = "tile"
+    data_parallel: int = 1
+    tile_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    iterations: int = 30000  # TrainView.swift:206-215
+    resize_factor: float = 0.5
+    init_points: int = 16384
+    white_background: bool = False
+    snapshot_interval: int = 100
+    log_interval: int = 10
+    preview_interval: int = 20
+    early_stop_loss: float = 1e-4  # GaussianTrainer.swift:934,1045
+    seed: int = 0
+    output_dir: str = "outputs"
+    checkpoint_interval: int = 1000
+
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    raster: RasterizerConfig = dataclasses.field(default_factory=RasterizerConfig)
+    optim: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    densify: DensifyConfig = dataclasses.field(default_factory=DensifyConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "TrainConfig":
+        raw = json.loads(text)
+
+        def build(cls, data):
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            kwargs = {}
+            for key, value in data.items():
+                if key not in fields:
+                    continue
+                ftype = fields[key].type
+                sub = _NESTED.get(key)
+                kwargs[key] = build(sub, value) if sub and isinstance(value, dict) else value
+            return cls(**kwargs)
+
+        return build(TrainConfig, raw)
+
+
+_NESTED = {
+    "model": ModelConfig,
+    "raster": RasterizerConfig,
+    "optim": OptimizerConfig,
+    "densify": DensifyConfig,
+    "loss": LossConfig,
+    "camera": CameraConfig,
+    "parallel": ParallelConfig,
+}

@@ -1,0 +1,190 @@
+"""Gaussian parameter store as a JAX pytree with static capacity.
+
+Counterpart of Trainer/GaussianModel.swift:33-126, redesigned TPU-first:
+instead of reallocating arrays as the point count changes (which would force
+an XLA recompile every densify), parameters live in fixed-capacity buffers
+with an explicit `num_active` count; inactive slots carry opacity logit -inf
+(sigmoid -> 0) and are additionally zero-radius after projection, so they
+contribute nothing to rendering or gradients.  Capacity grows by doubling, so
+a 30k-iteration run recompiles only O(log(max/initial)) times.
+
+Parameter semantics (identical to the reference):
+  xyz           [C, 3]    world positions (identity activation)
+  features_dc   [C, 1, 3] SH degree-0 coefficients
+  features_rest [C, K-1, 3] higher-order SH coefficients
+  scales        [C, 3]    log-space; activation exp
+  rotation      [C, 4]    unnormalized w-first quaternion; activation row-norm
+  opacity       [C, 1]    logit; activation sigmoid
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import sh as sh_utils
+from ..utils import transforms
+
+PARAM_NAMES = ("xyz", "features_dc", "features_rest", "scales", "rotation", "opacity")
+
+# Opacity logit assigned to inactive capacity slots: sigmoid(-30) ~ 1e-13.
+INACTIVE_OPACITY = -30.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GaussianParams:
+    xyz: jax.Array
+    features_dc: jax.Array
+    features_rest: jax.Array
+    scales: jax.Array
+    rotation: jax.Array
+    opacity: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+    @property
+    def sh_degree(self) -> int:
+        return int(np.sqrt(self.features_rest.shape[1] + 1)) - 1
+
+    def as_tuple(self):
+        return tuple(getattr(self, n) for n in PARAM_NAMES)
+
+    @staticmethod
+    def from_tuple(values) -> "GaussianParams":
+        return GaussianParams(**dict(zip(PARAM_NAMES, values)))
+
+
+def activations(params: GaussianParams, active_mask=None):
+    """Raw params -> render-space quantities (GaussianRenderer.swift:936-963).
+
+    Returns (means3d, shs [C, K, 3], opacity [C, 1], scales, rotations).
+    `active_mask` additionally zeroes the opacity of inactive slots.
+    """
+    means3d = params.xyz
+    opacity = jax.nn.sigmoid(params.opacity)
+    if active_mask is not None:
+        opacity = opacity * active_mask[:, None].astype(opacity.dtype)
+    scales = jnp.exp(params.scales)
+    rotations = params.rotation  # normalized inside the projection math
+    shs = jnp.concatenate([params.features_dc, params.features_rest], axis=1)
+    return means3d, shs, opacity, scales, rotations
+
+
+def knn_mean_sq_dist(points: np.ndarray, k: int = 3, chunk: int = 2048) -> np.ndarray:
+    """Mean squared distance to the k nearest neighbours (excluding self).
+
+    Correct chunked implementation — the reference's distTopK has a stride bug
+    (GaussianModel.swift:15-18) that only fills the first 256 entries; SURVEY
+    §"quirks" directs us NOT to replicate it.
+    """
+    points = np.asarray(points, dtype=np.float32)
+    n = points.shape[0]
+    out = np.empty(n, dtype=np.float32)
+    for start in range(0, n, chunk):
+        block = points[start : start + chunk]  # [B, 3]
+        d2 = ((block[:, None, :] - points[None, :, :]) ** 2).sum(-1)  # [B, N]
+        idx = np.arange(start, start + block.shape[0])
+        d2[np.arange(block.shape[0]), idx] = np.inf  # exclude self
+        kk = min(k, n - 1)
+        part = np.partition(d2, kk - 1, axis=1)[:, :kk]
+        out[start : start + block.shape[0]] = part.mean(axis=1)
+    return out
+
+
+def create_from_points(
+    points: np.ndarray,
+    colors: np.ndarray,
+    sh_degree: int = 4,
+    capacity: int | None = None,
+    init_opacity: float = 0.1,
+    dist2_floor: float = 1e-7,
+    knn_k: int = 3,
+) -> Tuple[GaussianParams, int]:
+    """Initialize from a point cloud (GaussianModel.swift:87-125).
+
+    Args:
+      points: [N, 3] float.
+      colors: [N, 3] in [0, 1].
+    Returns (params padded to capacity, num_active).
+    """
+    points = np.asarray(points, dtype=np.float32)
+    colors = np.asarray(colors, dtype=np.float32)
+    n = points.shape[0]
+    k_coeffs = sh_utils.num_sh_coeffs(sh_degree)
+    if capacity is None:
+        capacity = n
+
+    dc = np.asarray(sh_utils.rgb2sh(colors), dtype=np.float32)[:, None, :]  # [N,1,3]
+    rest = np.zeros((n, k_coeffs - 1, 3), dtype=np.float32)
+
+    dist2 = np.maximum(knn_mean_sq_dist(points, k=knn_k), dist2_floor)
+    scales = np.repeat(np.log(np.sqrt(dist2))[:, None], 3, axis=1).astype(np.float32)
+
+    rots = np.zeros((n, 4), dtype=np.float32)
+    rots[:, 0] = 1.0
+
+    opacity = np.full(
+        (n, 1),
+        float(np.log(init_opacity / (1.0 - init_opacity))),
+        dtype=np.float32,
+    )
+
+    def pad(x, fill=0.0):
+        if capacity == n:
+            return x
+        shape = (capacity - n,) + x.shape[1:]
+        return np.concatenate([x, np.full(shape, fill, x.dtype)], axis=0)
+
+    params = GaussianParams(
+        xyz=jnp.asarray(pad(points)),
+        features_dc=jnp.asarray(pad(dc)),
+        features_rest=jnp.asarray(pad(rest)),
+        scales=jnp.asarray(pad(scales)),
+        rotation=jnp.asarray(pad(rots)),
+        opacity=jnp.asarray(pad(opacity, INACTIVE_OPACITY)),
+    )
+    return params, n
+
+
+def active_mask(params: GaussianParams, num_active) -> jax.Array:
+    """[capacity] float mask of live slots."""
+    return (jnp.arange(params.capacity) < num_active).astype(jnp.float32)
+
+
+def learning_rates(
+    step,
+    total: int,
+    lr_xyz: float = 1.6e-4,
+    lr_features_dc: float = 2.5e-3,
+    lr_features_rest: float = 2.5e-3 / 20.0,
+    lr_scales: float = 5e-3,
+    lr_rotation: float = 1e-3,
+    lr_opacity: float = 2.5e-2,
+    xyz_lr_floor: float = 0.01,
+):
+    """Per-parameter LR table (GaussianModel.swift:56-65); `step` may be traced."""
+    t = jnp.asarray(step, jnp.float32) / float(total)
+    xyz = lr_xyz * jnp.maximum(1.0 - t, xyz_lr_floor)
+    return {
+        "xyz": xyz,
+        "features_dc": jnp.float32(lr_features_dc),
+        "features_rest": jnp.float32(lr_features_rest),
+        "scales": jnp.float32(lr_scales),
+        "rotation": jnp.float32(lr_rotation),
+        "opacity": jnp.float32(lr_opacity),
+    }
+
+
+def covariance(params: GaussianParams, scaling_modifier: float = 1.0) -> jax.Array:
+    """Activated 3D covariance as 6-vector (GaussianModel.swift:77-84)."""
+    cov = transforms.build_cov3d(
+        jnp.exp(params.scales) * scaling_modifier, params.rotation
+    )
+    return transforms.strip_lowerdiag(cov)

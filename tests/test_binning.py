@@ -1,0 +1,129 @@
+"""Tile binning vs a brute-force numpy implementation of the reference's
+tile-index math (slang/gaussian_tile_global_kernels.slang:8-126)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gaussiansplattingmlx_tpu.ops import binning
+
+
+def brute_force_pairs(rect_min, rect_max, radii, depths, W, H, tw, th):
+    gw, gh = -(-W // tw), -(-H // th)
+    pairs = []
+    for i in range(len(radii)):
+        if radii[i] <= 0:
+            continue
+        tmin_x = int(np.clip(np.floor(rect_min[i, 0] / tw), 0, gw))
+        tmin_y = int(np.clip(np.floor(rect_min[i, 1] / th), 0, gh))
+        tmax_x = int(np.clip(np.floor(rect_max[i, 0] / tw) + 1, 0, gw))
+        tmax_y = int(np.clip(np.floor(rect_max[i, 1] / th) + 1, 0, gh))
+        for ty in range(tmin_y, tmax_y):
+            for tx in range(tmin_x, tmax_x):
+                pairs.append((ty * gw + tx, depths[i], i))
+    pairs.sort(key=lambda p: (p[0], p[1], p[2]))
+    return pairs, gw * gh
+
+
+def run_binning(rect_min, rect_max, radii, depths, W, H, tw, th, R=16, max_pairs=256):
+    return binning.bin_gaussians(
+        jnp.asarray(rect_min),
+        jnp.asarray(rect_max),
+        jnp.asarray(radii),
+        jnp.asarray(depths),
+        W,
+        H,
+        tw,
+        th,
+        R,
+        max_pairs,
+    )
+
+
+def test_binning_matches_brute_force(rng):
+    W = H = 64
+    tw = th = 16
+    n = 40
+    means = rng.uniform(0, 64, size=(n, 2)).astype(np.float32)
+    radius = rng.uniform(1, 20, size=n).astype(np.float32)
+    radius[::7] = 0.0  # some culled
+    depths = rng.uniform(0.5, 10, size=n).astype(np.float32)
+    rect_min = np.maximum(means - radius[:, None], 0.0)
+    rect_max = np.minimum(means + radius[:, None], np.array([W - 1, H - 1], np.float32))
+
+    out = run_binning(rect_min, rect_max, radius, depths, W, H, tw, th)
+    expected, num_tiles = brute_force_pairs(
+        rect_min, rect_max, radius, depths, W, H, tw, th
+    )
+
+    assert int(out.num_pairs) == len(expected)
+    assert int(out.overflow_pairs) == 0
+    got_tiles = np.asarray(out.sorted_tile_id)[: len(expected)]
+    got_idx = np.asarray(out.sorted_gauss_idx)[: len(expected)]
+    np.testing.assert_array_equal(got_tiles, [p[0] for p in expected])
+    np.testing.assert_array_equal(got_idx, [p[2] for p in expected])
+
+    # tile_start / tile_count cover exactly the sorted pair ranges.
+    start = np.asarray(out.tile_start)
+    count = np.asarray(out.tile_count)
+    for t in range(num_tiles):
+        members = [p[2] for p in expected if p[0] == t]
+        assert count[t] == len(members)
+        np.testing.assert_array_equal(got_idx[start[t] : start[t] + count[t]], members)
+
+
+def test_depth_ordering_within_tile(rng):
+    # Three gaussians covering the same single tile, shuffled depths.
+    W = H = 32
+    rect_min = np.zeros((3, 2), np.float32)
+    rect_max = np.full((3, 2), 10.0, np.float32)
+    radii = np.ones(3, np.float32)
+    depths = np.array([5.0, 1.0, 3.0], np.float32)
+    out = run_binning(rect_min, rect_max, radii, depths, W, H, 32, 32)
+    idx = np.asarray(out.sorted_gauss_idx)[:3]
+    np.testing.assert_array_equal(idx, [1, 2, 0])
+
+
+def test_footprint_cap_overflow_reported(rng):
+    # One gaussian covering the whole 4x4 tile grid with R=4 -> truncated.
+    W = H = 64
+    rect_min = np.zeros((1, 2), np.float32)
+    rect_max = np.full((1, 2), 63.0, np.float32)
+    radii = np.ones(1, np.float32)
+    depths = np.ones(1, np.float32)
+    out = run_binning(rect_min, rect_max, radii, depths, W, H, 16, 16, R=4)
+    assert int(out.overflow_gaussians) == 1
+    assert int(out.num_pairs) == 4
+
+
+def test_pair_budget_overflow(rng):
+    # 10 gaussians x 4 tiles each = 40 pairs but budget 16.
+    W = H = 32
+    n = 10
+    rect_min = np.tile(np.array([[10.0, 10.0]], np.float32), (n, 1))
+    rect_max = np.tile(np.array([[20.0, 20.0]], np.float32), (n, 1))
+    radii = np.ones(n, np.float32)
+    depths = np.arange(1, n + 1, dtype=np.float32)
+    out = run_binning(rect_min, rect_max, radii, depths, W, H, 16, 16, R=8, max_pairs=16)
+    assert int(out.num_pairs) == 16
+    assert int(out.overflow_pairs) == 40 - 16
+
+
+def test_chunked_expansion_matches_single_shot(rng):
+    W = H = 64
+    n = 100
+    means = rng.uniform(0, 64, size=(n, 2)).astype(np.float32)
+    radius = rng.uniform(1, 10, size=n).astype(np.float32)
+    depths = rng.uniform(0.5, 10, size=n).astype(np.float32)
+    rect_min = np.maximum(means - radius[:, None], 0.0)
+    rect_max = np.minimum(means + radius[:, None], np.array([W - 1, H - 1], np.float32))
+    a = binning.bin_gaussians(
+        jnp.asarray(rect_min), jnp.asarray(rect_max), jnp.asarray(radius),
+        jnp.asarray(depths), W, H, 16, 16, 16, 1024, expand_chunk=1 << 16,
+    )
+    b = binning.bin_gaussians(
+        jnp.asarray(rect_min), jnp.asarray(rect_max), jnp.asarray(radius),
+        jnp.asarray(depths), W, H, 16, 16, 16, 1024, expand_chunk=32,
+    )
+    np.testing.assert_array_equal(np.asarray(a.sorted_tile_id), np.asarray(b.sorted_tile_id))
+    np.testing.assert_array_equal(np.asarray(a.sorted_gauss_idx), np.asarray(b.sorted_gauss_idx))
+    assert int(a.num_pairs) == int(b.num_pairs)
