@@ -1,0 +1,146 @@
+"""End-to-end differentiable render: projection -> binning -> rasterize.
+
+Counterpart of GaussianRenderer.forward / forwardWithCameraParams
+(Trainer/GaussianRenderer.swift:769-934), as one jit-friendly function.
+Also serves as the inference renderer (the reference ships a separate
+Metal viewer, Metal/MetalGaussianRenderer.swift; on TPU the training
+rasterizer jitted without gradients IS the viewer backend).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import RasterizerConfig
+from .ops import binning as binning_mod
+from .ops import projection, rasterize_pallas, rasterize_ref
+from .ops.rasterize_ref import RenderOutputs
+
+
+class RenderAux(NamedTuple):
+    radii: jax.Array  # [N] screen radii (0 = culled)
+    num_pairs: jax.Array  # [] pairs binned
+    overflow_gaussians: jax.Array
+    overflow_pairs: jax.Array
+    means2d: jax.Array  # [N, 2] (for positional-gradient densification stats)
+
+
+def resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() == "tpu" else "reference"
+
+
+def render(
+    means3d: jax.Array,
+    shs: jax.Array,
+    opacity: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    view: jax.Array,
+    proj: jax.Array,
+    camera_center: jax.Array,
+    fov_x: jax.Array,
+    fov_y: jax.Array,
+    focal_x: jax.Array,
+    focal_y: jax.Array,
+    image_width: int,
+    image_height: int,
+    sh_degree: int,
+    raster_cfg: RasterizerConfig = RasterizerConfig(),
+    white_background: bool = False,
+    backend: str | None = None,
+):
+    """Render one view.  All array args may be traced; shapes/ints static.
+
+    Returns (RenderOutputs with background applied to color, RenderAux).
+    """
+    cfg = raster_cfg
+    backend = resolve_backend(backend if backend is not None else cfg.backend)
+
+    p = projection.project_gaussians(
+        means3d,
+        scales,
+        rotations,
+        shs,
+        view,
+        proj,
+        camera_center,
+        fov_x,
+        fov_y,
+        focal_x,
+        focal_y,
+        image_width,
+        image_height,
+        sh_degree,
+        z_cull=cfg.z_cull,
+        ndc_w_eps=cfg.ndc_w_eps,
+        tanfov_clip=cfg.tanfov_clip,
+        cov2d_dilation=cfg.cov2d_dilation,
+        radius_eigen_eps=cfg.radius_eigen_eps,
+        quat_norm_eps=cfg.quat_norm_eps,
+    )
+
+    b = binning_mod.bin_gaussians(
+        p.rect_min,
+        p.rect_max,
+        p.radii,
+        p.depths,
+        image_width,
+        image_height,
+        cfg.tile_w,
+        cfg.tile_h,
+        cfg.max_tiles_per_gaussian,
+        cfg.max_pairs,
+    )
+
+    packed = rasterize_ref.pack_gaussians(
+        p.means2d, p.conic, p.colors, opacity, p.depths
+    )
+
+    if backend == "reference":
+        out = rasterize_ref.rasterize_reference(
+            packed,
+            b.sorted_gauss_idx,
+            b.sorted_tile_id,
+            image_width,
+            image_height,
+            cfg.tile_w,
+            cfg.tile_h,
+            alpha_clamp=cfg.alpha_clamp,
+            transmittance_eps=cfg.transmittance_eps,
+        )
+    elif backend in ("pallas", "pallas_interpret"):
+        out = rasterize_pallas.rasterize_pallas(
+            packed,
+            b.sorted_gauss_idx,
+            b.pair_valid,
+            b.tile_start,
+            b.tile_count,
+            image_width,
+            image_height,
+            cfg.tile_w,
+            cfg.tile_h,
+            chunk_size=cfg.chunk_size,
+            alpha_clamp=cfg.alpha_clamp,
+            transmittance_eps=cfg.transmittance_eps,
+            interpret=backend == "pallas_interpret",
+        )
+    else:
+        raise ValueError(f"unknown rasterizer backend {backend!r}")
+
+    color = rasterize_ref.apply_background(out.color, out.alpha, white_background)
+    out = RenderOutputs(
+        color=color, depth=out.depth, alpha=out.alpha, n_contrib=out.n_contrib
+    )
+    aux = RenderAux(
+        radii=p.radii,
+        num_pairs=b.num_pairs,
+        overflow_gaussians=b.overflow_gaussians,
+        overflow_pairs=b.overflow_pairs,
+        means2d=p.means2d,
+    )
+    return out, aux

@@ -1,0 +1,338 @@
+"""Training orchestration: jitted train step + host-side loop.
+
+Counterpart of GaussianTrainer.startTrain (Trainer/GaussianTrainer.swift:
+934-1129), redesigned for XLA: ONE jit-compiled function per capacity bucket
+executes activation -> render -> loss -> backward -> Adam entirely on device
+(the reference's per-iteration `.item()` syncs and manual `eval` batching
+disappear; the host only syncs when it logs).  Densification is a second
+jitted function over the same fixed-capacity buffers; capacity grows by
+doubling on the host, so recompiles are O(log N) per run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig
+from ..data.dataset import TrainData
+from ..models import gaussians
+from ..models.gaussians import GaussianParams, INACTIVE_OPACITY
+from ..ops import losses as losses_mod
+from ..render import render as render_fn
+from ..utils.point_cloud import PointCloud
+from . import densify as densify_mod
+from . import optimizer as adam
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: GaussianParams
+    opt: adam.AdamState
+    num_active: jax.Array  # [] int32
+    grad_accum: jax.Array  # [capacity]
+    grad_denom: jax.Array  # [] float32
+    step: jax.Array  # [] int32
+
+
+def stack_views(data: TrainData) -> Dict[str, jnp.ndarray]:
+    """Stack all per-view tensors to device arrays indexed by view id."""
+    keys = ("view", "proj", "camera_center", "fov_x", "fov_y", "focal_x", "focal_y",
+            "target_rgb", "target_depth", "depth_mask")
+    stacked = {k: [] for k in keys}
+    for i in range(data.num_views):
+        t = data.view_tensors(i)
+        for k in keys:
+            stacked[k].append(np.asarray(t[k]))
+    return {k: jnp.asarray(np.stack(v)) for k, v in stacked.items()}
+
+
+def make_train_step(
+    cfg: TrainConfig,
+    image_width: int,
+    image_height: int,
+    sh_degree: int,
+    total_iterations: int,
+    backend: Optional[str] = None,
+) -> Callable:
+    """Build the jitted train step.  Retraces per parameter capacity."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, views: Dict, view_idx, return_image: bool = False):
+        take = lambda k: views[k][view_idx]
+        active = gaussians.active_mask(state.params, state.num_active)
+
+        def loss_fn(ptuple):
+            params = GaussianParams.from_tuple(ptuple)
+            means3d, shs, opacity, scales, rotations = gaussians.activations(
+                params, active
+            )
+            out, aux = render_fn(
+                means3d, shs, opacity, scales, rotations,
+                take("view"), take("proj"), take("camera_center"),
+                take("fov_x"), take("fov_y"), take("focal_x"), take("focal_y"),
+                image_width, image_height, sh_degree,
+                raster_cfg=cfg.raster,
+                white_background=cfg.white_background,
+                backend=backend,
+            )
+            loss, parts = losses_mod.total_loss(
+                out.color, take("target_rgb"), out.depth, take("target_depth"),
+                take("depth_mask"),
+                lambda_dssim=cfg.loss.lambda_dssim,
+                lambda_depth=cfg.loss.lambda_depth,
+                ssim_window=cfg.loss.ssim_window,
+                ssim_sigma=cfg.loss.ssim_sigma,
+            )
+            return loss, (parts, out, aux)
+
+        (loss, (parts, out, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params.as_tuple()
+        )
+        grads = GaussianParams.from_tuple(grads)
+
+        # Densification statistic: accumulate ||d xyz|| per point
+        # (accum_grad_norm kernel, GaussianTrainer.swift:321-339,724-742).
+        grad_norm = jnp.sqrt(jnp.sum(grads.xyz * grads.xyz, axis=1))
+        grad_accum = state.grad_accum + grad_norm
+        grad_denom = state.grad_denom + 1.0
+
+        lrs = gaussians.learning_rates(
+            state.step, total_iterations,
+            lr_xyz=cfg.optim.lr_xyz,
+            lr_features_dc=cfg.optim.lr_features_dc,
+            lr_features_rest=cfg.optim.lr_features_rest,
+            lr_scales=cfg.optim.lr_scales,
+            lr_rotation=cfg.optim.lr_rotation,
+            lr_opacity=cfg.optim.lr_opacity,
+            xyz_lr_floor=cfg.optim.xyz_lr_floor,
+        )
+        lr_tree = GaussianParams(
+            xyz=lrs["xyz"], features_dc=lrs["features_dc"],
+            features_rest=lrs["features_rest"], scales=lrs["scales"],
+            rotation=lrs["rotation"], opacity=lrs["opacity"],
+        )
+        new_params, new_opt = adam.update(
+            state.params, grads, state.opt, lr_tree,
+            beta1=cfg.optim.beta1, beta2=cfg.optim.beta2, eps=cfg.optim.eps,
+            bias_correction=cfg.optim.bias_correction,
+        )
+        new_state = TrainState(
+            params=new_params, opt=new_opt, num_active=state.num_active,
+            grad_accum=grad_accum, grad_denom=grad_denom, step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss, "l1": parts["l1"], "ssim": parts["ssim"],
+            "depth": parts["depth"],
+            "psnr": losses_mod.psnr(out.color, take("target_rgb")),
+            "num_pairs": aux.num_pairs,
+            "overflow_pairs": aux.overflow_pairs,
+            "overflow_gaussians": aux.overflow_gaussians,
+        }
+        image = out.color if return_image else None
+        return new_state, metrics, image
+
+    return train_step
+
+
+def make_densify_step(cfg: TrainConfig) -> Callable:
+    @partial(jax.jit, donate_argnums=(0,))
+    def densify_step(state: TrainState, rng_key):
+        new_params, stats, gather_idx, noise_mode = densify_mod.split_and_prune(
+            state.params, state.num_active, state.grad_accum, state.grad_denom,
+            rng_key,
+            grad_threshold=cfg.densify.grad_threshold,
+            max_scale=cfg.densify.max_scale,
+            min_opacity=cfg.densify.min_opacity,
+            split_scale_div=cfg.densify.split_scale_div,
+            split_noise_factor=cfg.densify.split_noise_factor,
+            clone_noise_std=cfg.densify.clone_noise_std,
+            max_gaussians=cfg.model.max_gaussians,
+        )
+        if cfg.densify.reset_optimizer_state:
+            # Reference behaviour: fresh Adam after densify
+            # (GaussianTrainer.swift:1105-1110).
+            new_opt = adam.init(new_params)
+        else:
+            new_opt = adam.AdamState(
+                m=densify_mod.remap_optimizer_moments(state.opt.m, gather_idx, noise_mode),
+                v=densify_mod.remap_optimizer_moments(state.opt.v, gather_idx, noise_mode),
+                count=state.opt.count,
+            )
+        new_state = TrainState(
+            params=new_params, opt=new_opt, num_active=stats.num_active,
+            grad_accum=jnp.zeros_like(state.grad_accum),
+            grad_denom=jnp.zeros_like(state.grad_denom),
+            step=state.step,
+        )
+        return new_state, stats
+
+    return densify_step
+
+
+def grow_capacity(state: TrainState, new_capacity: int) -> TrainState:
+    """Host-side buffer growth (pads with inactive slots); triggers one
+    recompile of the jitted steps at the new bucket."""
+    old = state.params.capacity
+    if new_capacity <= old:
+        return state
+    pad_n = new_capacity - old
+
+    def pad(x, fill=0.0):
+        widths = [(0, pad_n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    params = GaussianParams(
+        xyz=pad(state.params.xyz),
+        features_dc=pad(state.params.features_dc),
+        features_rest=pad(state.params.features_rest),
+        scales=pad(state.params.scales),
+        rotation=pad(state.params.rotation),
+        opacity=pad(state.params.opacity, INACTIVE_OPACITY),
+    )
+    opt = adam.AdamState(
+        m=jax.tree.map(pad, state.opt.m),
+        v=jax.tree.map(pad, state.opt.v),
+        count=state.opt.count,
+    )
+    return TrainState(
+        params=params, opt=opt, num_active=state.num_active,
+        grad_accum=pad(state.grad_accum), grad_denom=state.grad_denom,
+        step=state.step,
+    )
+
+
+class Trainer:
+    """Host-side loop: camera sampling, densify cadence, snapshots, metrics,
+    checkpoints, early stopping (TrainView/GaussianTrainer orchestration)."""
+
+    def __init__(
+        self,
+        config: TrainConfig,
+        data: TrainData,
+        point_cloud: PointCloud,
+        backend: Optional[str] = None,
+    ):
+        self.cfg = config
+        self.data = data
+        self.backend = backend
+        self.rng = np.random.default_rng(config.seed)
+        self.key = jax.random.PRNGKey(config.seed)
+
+        pc = point_cloud.random_sample(config.init_points, seed=config.seed)
+        capacity = max(config.model.initial_capacity, _next_pow2(pc.size))
+        params, n = gaussians.create_from_points(
+            pc.coords, pc.colors / 255.0,
+            sh_degree=config.model.sh_degree,
+            capacity=capacity,
+            init_opacity=config.model.init_opacity,
+            dist2_floor=config.model.dist2_floor,
+            knn_k=config.model.knn_k,
+        )
+        self.state = TrainState(
+            params=params,
+            opt=adam.init(params),
+            num_active=jnp.int32(n),
+            grad_accum=jnp.zeros((capacity,), jnp.float32),
+            grad_denom=jnp.float32(0.0),
+            step=jnp.int32(0),
+        )
+        self.views = stack_views(data)
+        self.train_step = make_train_step(
+            config, data.width, data.height,
+            config.model.sh_degree, config.iterations, backend,
+        )
+        self.densify_step = make_densify_step(config)
+        self.history: list = []
+        self.out_dir = Path(config.output_dir)
+
+    def next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def run(
+        self,
+        iterations: Optional[int] = None,
+        on_metrics: Optional[Callable] = None,
+    ) -> Dict:
+        cfg = self.cfg
+        iterations = iterations if iterations is not None else cfg.iterations
+        last_log = time.time()
+        last_step = 0
+        final = {}
+        for it in range(1, iterations + 1):
+            view_idx = int(self.rng.integers(0, self.data.num_views))
+            self.state, metrics, _ = self.train_step(
+                self.state, self.views, jnp.int32(view_idx)
+            )
+
+            if it % cfg.snapshot_interval == 0 and cfg.output_dir:
+                self.save_snapshot(it)
+
+            if (
+                it % cfg.densify.interval == 0
+                and cfg.densify.from_iter <= it <= cfg.densify.until_iter
+            ):
+                self.state, stats = self.densify_step(self.state, self.next_key())
+                self.maybe_grow()
+
+            if it % cfg.log_interval == 0 or it == iterations:
+                m = {k: float(v) for k, v in metrics.items()}
+                now = time.time()
+                m["iters_per_s"] = (it - last_step) / max(now - last_log, 1e-9)
+                m["num_active"] = int(self.state.num_active)
+                m["iteration"] = it
+                last_log, last_step = now, it
+                self.history.append(m)
+                final = m
+                if on_metrics:
+                    on_metrics(m)
+                if m["loss"] < cfg.early_stop_loss:
+                    break
+            if cfg.checkpoint_interval and it % cfg.checkpoint_interval == 0 and cfg.output_dir:
+                self.save_checkpoint(it)
+        return final
+
+    def maybe_grow(self):
+        cap = self.state.params.capacity
+        n = int(self.state.num_active)
+        if n > 0.85 * cap and cap < self.cfg.model.max_gaussians:
+            new_cap = min(cap * 2, _next_pow2(self.cfg.model.max_gaussians))
+            self.state = grow_capacity(self.state, new_cap)
+
+    def save_snapshot(self, iteration: int):
+        from ..data import ply
+
+        n = int(self.state.num_active)
+        p = jax.device_get(self.state.params)
+        ply.write_gaussian_ply(
+            self.out_dir / f"iteration_{iteration}.ply",
+            p.xyz[:n], p.features_dc[:n], p.features_rest[:n],
+            p.opacity[:n], p.scales[:n], p.rotation[:n],
+        )
+
+    def save_checkpoint(self, iteration: int):
+        from . import checkpoint
+
+        checkpoint.save(self.out_dir / f"ckpt_{iteration}.npz", self.state, self.cfg)
+
+    def restore_checkpoint(self, path):
+        from . import checkpoint
+
+        self.state = checkpoint.load(path)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p

@@ -1,0 +1,131 @@
+"""Fixed-capacity densify/prune rules (GaussianTrainer.swift:766-908)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussiansplattingmlx_tpu.models.gaussians import GaussianParams, INACTIVE_OPACITY
+from gaussiansplattingmlx_tpu.train import densify
+
+
+def make_params(n, cap, scales_log=-3.0, opacity_logit=0.0):
+    def full(shape, v=0.0):
+        return jnp.full(shape, v, jnp.float32)
+
+    return GaussianParams(
+        xyz=jnp.arange(cap * 3, dtype=jnp.float32).reshape(cap, 3) * 0.01,
+        features_dc=full((cap, 1, 3), 0.5),
+        features_rest=full((cap, 3, 3)),
+        scales=full((cap, 3), scales_log),
+        rotation=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (cap, 1)),
+        opacity=full((cap, 1), opacity_logit),
+    )
+
+
+def run(params, n, accum, denom=1.0, **kw):
+    return densify.split_and_prune(
+        params,
+        jnp.int32(n),
+        jnp.asarray(accum, jnp.float32),
+        jnp.float32(denom),
+        jax.random.PRNGKey(0),
+        **kw,
+    )
+
+
+def test_keep_only():
+    cap = 8
+    params = make_params(4, cap)
+    newp, stats, _, _ = run(params, 4, np.zeros(cap))
+    assert int(stats.num_active) == 4
+    assert int(stats.n_keep) == 4
+    assert int(stats.n_split) == int(stats.n_clone) == int(stats.n_prune) == 0
+    np.testing.assert_allclose(np.asarray(newp.xyz[:4]), np.asarray(params.xyz[:4]))
+    # dead slots deactivated
+    assert float(newp.opacity[4:].max()) == INACTIVE_OPACITY
+
+
+def test_prune_low_opacity():
+    cap = 8
+    params = make_params(4, cap, opacity_logit=0.0)
+    # Make slot 1 transparent: sigmoid(-8) ~ 3e-4 < 5e-3.
+    params = GaussianParams(
+        **{
+            **{k: getattr(params, k) for k in ("xyz", "features_dc", "features_rest", "scales", "rotation")},
+            "opacity": params.opacity.at[1, 0].set(-8.0),
+        }
+    )
+    newp, stats, _, _ = run(params, 4, np.zeros(cap))
+    assert int(stats.n_prune) == 1
+    assert int(stats.num_active) == 3
+    # Survivors are slots 0, 2, 3 in order.
+    np.testing.assert_allclose(
+        np.asarray(newp.xyz[:3]), np.asarray(params.xyz[jnp.asarray([0, 2, 3])])
+    )
+
+
+def test_clone_small_gaussian():
+    cap = 16
+    params = make_params(3, cap, scales_log=-6.0)  # exp(-6) << max_scale
+    accum = np.zeros(cap)
+    accum[2] = 1.0  # high positional gradient on slot 2
+    newp, stats, _, _ = run(params, 3, accum)
+    assert int(stats.n_clone) == 1
+    assert int(stats.n_split) == 0
+    assert int(stats.num_active) == 4
+    # Clone copy sits next to the original with small noise (0.01 * N(0,1)).
+    orig = np.asarray(params.xyz[2])
+    copies = np.asarray(newp.xyz[2:4])
+    assert np.allclose(copies[0], orig)  # original kept unchanged
+    assert 0 < np.abs(copies[1] - orig).max() < 0.1
+
+
+def test_split_large_gaussian():
+    cap = 16
+    params = make_params(3, cap, scales_log=0.0)  # exp(0)=1 > max_scale=0.01
+    accum = np.zeros(cap)
+    accum[0] = 1.0
+    newp, stats, _, _ = run(params, 3, accum)
+    assert int(stats.n_split) == 1
+    assert int(stats.num_active) == 4
+    # Both children scaled down by 1.6 in linear space.
+    child_scales = np.asarray(newp.scales[0:2])
+    np.testing.assert_allclose(child_scales, -np.log(1.6), rtol=1e-6)
+    # Children displaced by +- mean(exp(src_scale)) * 0.1 * N(0,1); like the
+    # reference, each output slot draws its own noise (GaussianTrainer.swift:
+    # 881-890), so the two children are displaced independently.
+    orig = np.asarray(params.xyz[0])
+    kids = np.asarray(newp.xyz[0:2])
+    assert np.abs(kids - orig).max() > 1e-4
+    assert np.abs(kids - orig).max() < 1.0  # ~0.1 sigma displacement scale
+    assert np.abs(kids[0] - kids[1]).max() > 1e-4
+
+
+def test_densify_threshold_uses_average():
+    cap = 8
+    params = make_params(2, cap, scales_log=-6.0)
+    accum = np.zeros(cap)
+    accum[0] = 3e-4  # avg over denom=2 -> 1.5e-4 < 2e-4: no clone
+    newp, stats, _, _ = run(params, 2, accum, denom=2.0)
+    assert int(stats.n_clone) == 0
+    accum[0] = 5e-4  # avg 2.5e-4 > 2e-4: clone
+    newp, stats, _, _ = run(params, 2, accum, denom=2.0)
+    assert int(stats.n_clone) == 1
+
+
+def test_capacity_guard_disables_densify():
+    cap = 4
+    params = make_params(4, cap, scales_log=-6.0)
+    accum = np.ones(cap)  # everything wants to clone -> 8 outputs > cap 4
+    newp, stats, _, _ = run(params, 4, accum)
+    assert not bool(stats.densify_enabled)
+    assert int(stats.num_active) == 4  # keep-only fallback
+
+
+def test_max_gaussians_budget():
+    cap = 16
+    params = make_params(8, cap, scales_log=-6.0)
+    accum = np.ones(cap)
+    newp, stats, _, _ = run(params, 8, accum, max_gaussians=8)
+    assert int(stats.n_clone) == 0  # budget reached: densification off
+    assert int(stats.num_active) == 8
