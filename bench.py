@@ -1,0 +1,98 @@
+"""Headline benchmark: pixels/s/chip, forward+backward rasterize, lego-scale.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.md): 800x800 image, lego-scale Gaussian count (100k after
+densification), full differentiable step — projection, binning, Pallas
+rasterizer forward, L1+SSIM loss, backward through the custom VJP.
+`vs_baseline` is the ratio to BASELINE_PIXELS_PER_S, the recorded result of
+this benchmark's first TPU v5e run (so later rounds track speedups); the
+reference publishes no numbers (BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# First measured value on TPU v5e-1 (round 1).  Later rounds report speedup
+# against this anchor.
+BASELINE_PIXELS_PER_S = 20_000_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussiansplattingmlx_tpu.config import RasterizerConfig
+    from gaussiansplattingmlx_tpu.models import gaussians
+    from gaussiansplattingmlx_tpu.ops import losses as losses_mod
+    from gaussiansplattingmlx_tpu.render import render
+    from gaussiansplattingmlx_tpu.utils.camera import Camera
+
+    W = H = 800
+    N = 100_000
+    SH_DEGREE = 3
+    cfg = RasterizerConfig(max_pairs=2**21, max_tiles_per_gaussian=32)
+
+    rng = np.random.default_rng(0)
+    # Lego-like scene: points in a unit-ish volume, camera orbiting at r=4.
+    pts = rng.normal(size=(N, 3)).astype(np.float32) * 0.6
+    cols = rng.uniform(0.05, 0.95, size=(N, 3)).astype(np.float32)
+    params, num = gaussians.create_from_points(pts, cols, sh_degree=SH_DEGREE, capacity=N)
+
+    c2w = np.eye(4)
+    c2w[2, 3] = -4.0
+    cam = Camera.from_c2w(W, H, 1111.0, 1111.0, c2w)
+    t = cam.tensors()
+    target = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
+    zeros_hw = jnp.zeros((H, W), jnp.float32)
+
+    @jax.jit
+    def train_like_step(ptuple):
+        p = gaussians.GaussianParams.from_tuple(ptuple)
+
+        def loss_fn(ptuple):
+            pp = gaussians.GaussianParams.from_tuple(ptuple)
+            means, shs, opacity, scales, rots = gaussians.activations(pp)
+            out, _ = render(
+                means, shs, opacity, scales, rots,
+                jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+                jnp.asarray(t["camera_center"]),
+                t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
+                W, H, SH_DEGREE, raster_cfg=cfg,
+            )
+            loss, _ = losses_mod.total_loss(
+                out.color, target, out.depth, zeros_hw, zeros_hw
+            )
+            return loss
+
+        return jax.value_and_grad(loss_fn)(ptuple)
+
+    args = params.as_tuple()
+    # Warmup/compile.
+    loss, grads = train_like_step(args)
+    jax.block_until_ready((loss, grads))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = train_like_step(args)
+    jax.block_until_ready((loss, grads))
+    dt = (time.perf_counter() - t0) / iters
+
+    pixels_per_s = W * H / dt
+    print(
+        json.dumps(
+            {
+                "metric": "fwd+bwd pixels/s/chip (800x800, 100k gaussians, SH3)",
+                "value": round(pixels_per_s),
+                "unit": "pixels/s",
+                "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,1 @@
-from . import dataset, ply  # noqa: F401
+from . import blender, colmap, dataset, nerfstudio, ply  # noqa: F401

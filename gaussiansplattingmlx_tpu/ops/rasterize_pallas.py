@@ -25,9 +25,10 @@ Memory layout (Mosaic requires DMA slice shapes aligned to the 128-lane
 tiling, so records are component-major and every tile's pair range starts at
 a chunk-aligned offset):
 
-  records   [12, P_aligned] f32 in HBM; rows:
+  records   [16, P_aligned] f32 in HBM (row count padded to the 8-sublane
+            tiling Mosaic requires for HBM slices); rows:
             0 mean_x, 1 mean_y, 2 c00, 3 c01, 4 c10, 5 c11,
-            6 colR, 7 colG, 8 colB, 9 depth, 10 opacity, 11 zero
+            6 colR, 7 colG, 8 colB, 9 depth, 10 opacity, 11-15 zero
   per tile  columns [aligned_start[t], aligned_start[t] + ceil(count/C)*C)
   compute   pixel-major (TT, C): pixels on sublanes, chunk gaussians on lanes
 
@@ -52,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rasterize_ref import RenderOutputs
 
-REC_DIM = 12
+REC_DIM = 16
 OUT_CHANNELS = 6
 
 
@@ -135,8 +136,9 @@ def _fwd_kernel(start_ref, count_ref, rec_hbm, out_ref, rec_vmem, sem, *, st: Ra
 
     def body(carry):
         ci, ln_t, acc4, ncon, _ = carry
+        cstart = pl.multiple_of(start + ci * C, C)
         copy = pltpu.make_async_copy(
-            rec_hbm.at[:, pl.ds(start + ci * C, C)], rec_vmem, sem
+            rec_hbm.at[:, pl.ds(cstart, C)], rec_vmem, sem
         )
         copy.start()
         copy.wait()
@@ -200,7 +202,7 @@ def _bwd_kernel(
     def body(k, carry):
         ln_t_end, acc = carry
         ci = nchunks - 1 - k
-        cstart = start + ci * C
+        cstart = pl.multiple_of(start + ci * C, C)
         copy = pltpu.make_async_copy(rec_hbm.at[:, pl.ds(cstart, C)], rec_vmem, sem)
         copy.start()
         copy.wait()
@@ -248,7 +250,7 @@ def _bwd_kernel(
 
         grad_vmem[:, :] = jnp.concatenate(
             [d_mx, d_my, d_c00, d_cs, d_cs, d_c11, d_cd, d_op,
-             jnp.zeros((1, C), jnp.float32)],
+             jnp.zeros((REC_DIM - 11, C), jnp.float32)],
             axis=0,
         )
         out_copy = pltpu.make_async_copy(
@@ -377,6 +379,10 @@ def rasterize_pallas(
     num_tiles = grid_w * grid_h
     max_pairs = sorted_gauss_idx.shape[0]
     C = chunk_size
+    if not interpret:
+        # Mosaic HBM DMA slices must be 128-lane aligned in both offset and
+        # extent; the aligned layout guarantees offsets are multiples of C.
+        assert C % 128 == 0, "compiled rasterizer requires chunk_size % 128 == 0"
     num_aligned = max_pairs + num_tiles * C
     st = RasterStatic(
         chunk=C,
@@ -417,7 +423,9 @@ def rasterize_pallas(
     # Reference layout [.., opacity, depth] -> kernel layout [.., depth, op].
     perm = jnp.asarray([0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 9], dtype=jnp.int32)
     rec = packed[:, perm]
-    rec = jnp.concatenate([rec, jnp.zeros((rec.shape[0], 1), rec.dtype)], axis=1)
+    rec = jnp.concatenate(
+        [rec, jnp.zeros((rec.shape[0], REC_DIM - 11), rec.dtype)], axis=1
+    )
     gathered = rec[aligned_idx]  # [P_aligned, 12]
     # Zero invalid columns so the unwritten gradient tail cannot leak garbage
     # cotangents into Gaussian 0 through the gather transpose.

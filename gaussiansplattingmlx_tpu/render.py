@@ -53,13 +53,21 @@ def render(
     raster_cfg: RasterizerConfig = RasterizerConfig(),
     white_background: bool = False,
     backend: str | None = None,
+    pixel_y_offset=None,
+    full_image_height: int | None = None,
 ):
     """Render one view.  All array args may be traced; shapes/ints static.
+
+    For pixel-band sharding (parallel/sharding.py), `image_height` is the
+    band height, `full_image_height` the camera's full image height, and
+    `pixel_y_offset` the band's first row: the camera projection uses the
+    full image while binning/rasterization run in band-local coordinates.
 
     Returns (RenderOutputs with background applied to color, RenderAux).
     """
     cfg = raster_cfg
     backend = resolve_backend(backend if backend is not None else cfg.backend)
+    proj_height = full_image_height if full_image_height is not None else image_height
 
     p = projection.project_gaussians(
         means3d,
@@ -74,7 +82,7 @@ def render(
         focal_x,
         focal_y,
         image_width,
-        image_height,
+        proj_height,
         sh_degree,
         z_cull=cfg.z_cull,
         ndc_w_eps=cfg.ndc_w_eps,
@@ -84,9 +92,25 @@ def render(
         quat_norm_eps=cfg.quat_norm_eps,
     )
 
+    means2d = p.means2d
+    rect_min, rect_max = p.rect_min, p.rect_max
+    if pixel_y_offset is not None:
+        # Shift to band-local pixel coordinates and re-clip the y rects to
+        # the band window (x rects keep the full-image clamps).
+        offs = jnp.asarray(pixel_y_offset, means2d.dtype)
+        means2d = means2d - jnp.stack([jnp.zeros_like(offs), offs])
+        y_band = jax.lax.stop_gradient(means2d[:, 1])
+        rect_min = jnp.stack(
+            [rect_min[:, 0], jnp.maximum(y_band - p.radii, 0.0)], axis=-1
+        )
+        rect_max = jnp.stack(
+            [rect_max[:, 0], jnp.minimum(y_band + p.radii, image_height - 1.0)],
+            axis=-1,
+        )
+
     b = binning_mod.bin_gaussians(
-        p.rect_min,
-        p.rect_max,
+        rect_min,
+        rect_max,
         p.radii,
         p.depths,
         image_width,
@@ -98,7 +122,7 @@ def render(
     )
 
     packed = rasterize_ref.pack_gaussians(
-        p.means2d, p.conic, p.colors, opacity, p.depths
+        means2d, p.conic, p.colors, opacity, p.depths
     )
 
     if backend == "reference":

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Inference renderer CLI — TPU counterpart of the reference's Metal viewer
+(Metal/MetalGaussianRenderer.swift + UI/RenderView.swift): loads a Gaussian
+PLY snapshot and renders orbit or dataset cameras to PNGs.
+
+    python render_cli.py --ply outputs/run/iteration_30000.ply \\
+        --orbit 8 --width 800 --height 800 --out renders/
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ply", required=True)
+    p.add_argument("--out", default="renders")
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=800)
+    p.add_argument("--focal", type=float, default=None,
+                   help="focal length in pixels (default 1.2*width)")
+    p.add_argument("--orbit", type=int, default=8,
+                   help="number of orbit cameras around the scene")
+    p.add_argument("--radius", type=float, default=4.0)
+    p.add_argument("--elevation", type=float, default=0.2)
+    p.add_argument("--white-background", action="store_true")
+    p.add_argument("--backend", default=None)
+    p.add_argument("--depth", action="store_true", help="also save depth maps")
+    return p.parse_args(argv)
+
+
+def orbit_c2w(angle: float, radius: float, elevation: float) -> np.ndarray:
+    pos = np.array(
+        [radius * np.sin(angle), elevation, -radius * np.cos(angle)]
+    )
+    fwd = -pos / np.linalg.norm(pos)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(fwd, right)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, true_up, fwd, pos
+    return c2w
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gaussiansplattingmlx_tpu.config import RasterizerConfig
+    from gaussiansplattingmlx_tpu.data import ply as ply_mod
+    from gaussiansplattingmlx_tpu.models.gaussians import GaussianParams, activations
+    from gaussiansplattingmlx_tpu.render import render
+    from gaussiansplattingmlx_tpu.utils.camera import Camera
+
+    g = ply_mod.read_gaussian_ply(args.ply)
+    n = g.xyz.shape[0]
+    print(f"loaded {n} gaussians, SH rest {g.features_rest.shape[1]}")
+    sh_degree = int(np.sqrt(g.features_rest.shape[1] + 1)) - 1
+    params = GaussianParams(
+        xyz=jnp.asarray(g.xyz),
+        features_dc=jnp.asarray(g.features_dc),
+        features_rest=jnp.asarray(g.features_rest),
+        scales=jnp.asarray(g.scales),
+        rotation=jnp.asarray(g.rotation),
+        opacity=jnp.asarray(g.opacity),
+    )
+    means, shs, opacity, scales, rots = activations(params)
+
+    focal = args.focal if args.focal else 1.2 * args.width
+    cfg = RasterizerConfig()
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    @jax.jit
+    def render_view(view, proj, center, fx, fy, fovx, fovy):
+        out, _ = render(
+            means, shs, opacity, scales, rots,
+            view, proj, center, fovx, fovy, fx, fy,
+            args.width, args.height, sh_degree,
+            raster_cfg=cfg,
+            white_background=args.white_background,
+            backend=args.backend,
+        )
+        return out.color, out.depth
+
+    for i in range(args.orbit):
+        cam = Camera.from_c2w(
+            args.width, args.height, focal, focal,
+            orbit_c2w(2 * np.pi * i / args.orbit, args.radius, args.elevation),
+        )
+        t = cam.tensors()
+        color, depth = render_view(
+            jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+            jnp.asarray(t["camera_center"]),
+            t["focal_x"], t["focal_y"], t["fov_x"], t["fov_y"],
+        )
+        img = np.clip(np.asarray(color) * 255.0, 0, 255).astype(np.uint8)
+        Image.fromarray(img).save(out_dir / f"render_{i:03d}.png")
+        if args.depth:
+            d = np.asarray(depth)
+            d = (d / max(d.max(), 1e-6) * 255.0).astype(np.uint8)
+            Image.fromarray(d, mode="L").save(out_dir / f"depth_{i:03d}.png")
+        print(f"wrote render_{i:03d}.png")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, str(Path(__file__).parent))
+    main()

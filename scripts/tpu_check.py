@@ -45,7 +45,8 @@ print("fwd compile+run", time.time()-t0)
 t0 = time.time(); g = run_grad(packed).block_until_ready()
 print("bwd compile+run", time.time()-t0)
 
-want = rasterize_ref.rasterize_reference(packed, b.sorted_gauss_idx, b.sorted_tile_id, W, H, tw, th)
+oracle_fwd = jax.jit(lambda p: rasterize_ref.rasterize_reference(p, b.sorted_gauss_idx, b.sorted_tile_id, W, H, tw, th))
+want = oracle_fwd(packed)
 print("color maxdiff", float(jnp.abs(out.color - want.color).max()))
 print("alpha maxdiff", float(jnp.abs(out.alpha - want.alpha).max()))
 print("depth maxdiff", float(jnp.abs(out.depth - want.depth).max()))
@@ -54,7 +55,7 @@ print("ncon mismatch frac", float(jnp.mean((out.n_contrib != want.n_contrib).ast
 def loss_o(p):
     o = rasterize_ref.rasterize_reference(p, b.sorted_gauss_idx, b.sorted_tile_id, W, H, tw, th)
     return jnp.sum((o.color-target)**2) + 0.3*jnp.sum(o.depth**2) + 0.7*jnp.sum(o.alpha)
-g_o = jax.grad(loss_o)(packed)
+g_o = jax.jit(jax.grad(loss_o))(packed)
 d = jnp.abs(g - g_o); rel = d / (jnp.abs(g_o) + 1e-3)
 print("grad maxdiff", float(d.max()), "maxrel", float(rel.max()))
 print("OK")

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Training CLI — the counterpart of the reference's SwiftUI TrainView
+(UI/TrainView.swift), as a command line:
+
+    python train.py --dataset colmap --root /path/to/scene \\
+        --iterations 30000 --resize-factor 0.5 --output outputs/lego
+
+Dataset formats: colmap (sparse/0/*.bin + images/), blender (info.json),
+nerfstudio (transforms.json).  Metrics stream to stdout and metrics.csv;
+PLY snapshots and npz checkpoints land in --output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", choices=["colmap", "blender", "nerfstudio"],
+                   required=True)
+    p.add_argument("--root", required=True, help="dataset root directory")
+    p.add_argument("--output", default="outputs/run", help="output directory")
+    p.add_argument("--iterations", type=int, default=30000)
+    p.add_argument("--resize-factor", type=float, default=0.5)
+    p.add_argument("--init-points", type=int, default=16384)
+    p.add_argument("--sh-degree", type=int, default=4)
+    p.add_argument("--white-background", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", default=None,
+                   help="rasterizer backend: pallas | reference | auto")
+    p.add_argument("--config", default=None, help="TrainConfig JSON file")
+    p.add_argument("--resume", default=None, help="checkpoint .npz to resume")
+    p.add_argument("--max-gaussians", type=int, default=1_000_000)
+    p.add_argument("--lambda-depth", type=float, default=None)
+    p.add_argument("--no-center", action="store_true",
+                   help="skip point-cloud centering")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from gaussiansplattingmlx_tpu.config import (
+        LossConfig, ModelConfig, TrainConfig,
+    )
+    from gaussiansplattingmlx_tpu.data import blender, colmap, nerfstudio
+    from gaussiansplattingmlx_tpu.train.trainer import Trainer
+
+    if args.config:
+        cfg = TrainConfig.from_json(Path(args.config).read_text())
+    else:
+        cfg = TrainConfig()
+    loss_cfg = cfg.loss
+    if args.lambda_depth is not None:
+        loss_cfg = dataclasses.replace(loss_cfg, lambda_depth=args.lambda_depth)
+    cfg = dataclasses.replace(
+        cfg,
+        iterations=args.iterations,
+        resize_factor=args.resize_factor,
+        init_points=args.init_points,
+        white_background=args.white_background,
+        seed=args.seed,
+        output_dir=args.output,
+        loss=loss_cfg,
+        model=dataclasses.replace(
+            cfg.model, sh_degree=args.sh_degree, max_gaussians=args.max_gaussians
+        ),
+    )
+
+    loaders = {
+        "colmap": colmap.load_colmap,
+        "blender": blender.load_blender,
+        "nerfstudio": nerfstudio.load_nerfstudio,
+    }
+    print(f"loading {args.dataset} dataset from {args.root} ...", flush=True)
+    data, pcd = loaders[args.dataset](
+        args.root,
+        resize_factor=cfg.resize_factor,
+        white_background=cfg.white_background,
+    )
+    # Depth supervision default matches the reference: only Blender provides
+    # depth; weight stays lambda_depth (0 by default) either way.
+    if args.dataset == "blender" and data.has_depth() and args.lambda_depth is None:
+        pass
+
+    if not args.no_center:
+        pcd, centroid = pcd.centering()
+        data = data.shift_cameras(centroid)
+        print(f"centered point cloud (centroid {centroid.round(3).tolist()})")
+
+    print(
+        f"{data.num_views} views {data.width}x{data.height}, "
+        f"{pcd.size} init points -> sampling {cfg.init_points}",
+        flush=True,
+    )
+
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "config.json").write_text(cfg.to_json())
+
+    trainer = Trainer(cfg, data, pcd, backend=args.backend)
+    if args.resume:
+        trainer.restore_checkpoint(args.resume)
+        print(f"resumed from {args.resume} at step {int(trainer.state.step)}")
+
+    csv_path = out_dir / "metrics.csv"
+    csv_file = open(csv_path, "a", newline="")
+    writer = None
+
+    def on_metrics(m):
+        nonlocal writer
+        if writer is None:
+            writer = csv.DictWriter(csv_file, fieldnames=sorted(m.keys()))
+            if csv_file.tell() == 0:
+                writer.writeheader()
+        writer.writerow(m)
+        csv_file.flush()
+        print(
+            f"iter {m['iteration']:6d}  loss {m['loss']:.5f}  "
+            f"psnr {m['psnr']:.2f}  n {m['num_active']}  "
+            f"{m['iters_per_s']:.2f} it/s",
+            flush=True,
+        )
+
+    final = trainer.run(on_metrics=on_metrics)
+    trainer.save_snapshot(int(trainer.state.step))
+    trainer.save_checkpoint(int(trainer.state.step))
+    print("final:", json.dumps(final))
+    csv_file.close()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, str(Path(__file__).parent))
+    main()
