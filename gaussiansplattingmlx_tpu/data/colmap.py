@@ -19,6 +19,7 @@ from PIL import Image
 
 from ..utils.camera import Camera
 from ..utils.point_cloud import PointCloud
+from . import native_io
 from .dataset import TrainData
 
 CAMERA_MODEL_PARAMS = {
@@ -48,7 +49,11 @@ class _Reader:
 
 
 def read_cameras_bin(path) -> Dict[int, dict]:
-    r = _Reader(Path(path).read_bytes())
+    data = Path(path).read_bytes()
+    native = native_io.parse_cameras(data)
+    if native is not None:
+        return native
+    r = _Reader(data)
     (n,) = r.read("Q")
     cams = {}
     for _ in range(n):
@@ -69,7 +74,22 @@ def read_cameras_bin(path) -> Dict[int, dict]:
 
 
 def read_images_bin(path) -> List[dict]:
-    r = _Reader(Path(path).read_bytes())
+    data = Path(path).read_bytes()
+    native = native_io.parse_images(data)
+    if native is not None:
+        images = []
+        for im in native:
+            R = _quat_to_rot(*im["qvec"])
+            t = im["tvec"]
+            c2w = np.eye(4)
+            c2w[:3, :3] = R.T
+            c2w[:3, 3] = -R.T @ t
+            images.append(
+                dict(image_id=0, camera_id=im["camera_id"], name=im["name"], c2w=c2w)
+            )
+        images.sort(key=lambda d: d["name"])
+        return images
+    r = _Reader(data)
     (n,) = r.read("Q")
     images = []
     for _ in range(n):
@@ -94,7 +114,11 @@ def read_images_bin(path) -> List[dict]:
 
 
 def read_points3d_bin(path) -> Tuple[np.ndarray, np.ndarray]:
-    r = _Reader(Path(path).read_bytes())
+    data = Path(path).read_bytes()
+    native = native_io.parse_points3d(data)
+    if native is not None:
+        return native
+    r = _Reader(data)
     (n,) = r.read("Q")
     xyz = np.empty((n, 3), np.float32)
     rgb = np.empty((n, 3), np.float32)

@@ -178,3 +178,30 @@ def test_nerfstudio_ply_init(tmp_path, rng):
     data, pcd = nerfstudio.load_nerfstudio(tmp_path)
     assert pcd.size == 30
     np.testing.assert_allclose(pcd.coords, pts, rtol=1e-6)
+
+
+def test_native_parser_matches_python(tmp_path, rng):
+    """C++ COLMAP parsers (native/gsplat_io.cpp) agree with the pure-Python
+    reference parsers on the same fixture."""
+    from gaussiansplattingmlx_tpu.data import native_io
+
+    if native_io.library() is None:
+        import pytest
+
+        pytest.skip("native library not built")
+    write_colmap_fixture(tmp_path, rng)
+    sparse = tmp_path / "sparse" / "0"
+
+    cams_n = native_io.parse_cameras((sparse / "cameras.bin").read_bytes())
+    assert cams_n[1]["fx"] == 30.0 and cams_n[1]["fy"] == 31.0
+
+    imgs_n = native_io.parse_images((sparse / "images.bin").read_bytes())
+    assert len(imgs_n) == 3
+    assert imgs_n[0]["name"] == "img_0.png"
+
+    pts_n = native_io.parse_points3d((sparse / "points3D.bin").read_bytes())
+    assert pts_n[0].shape == (50, 3)
+
+    # And the high-level loader (which now uses the native path) still works.
+    data, pcd = colmap.load_colmap(tmp_path)
+    assert data.num_views == 3 and pcd.size == 50
