@@ -153,7 +153,8 @@ def _fwd_kernel(start_ref, count_ref, rec_hbm, out_ref, rec_vmem, sem, *, st: Ra
         w = tu * a * mf  # (TT, C)
         cd = rec[6:10, :]  # (4, C): RGB + depth
         acc4 = acc4 + jax.lax.dot_general(
-            cd, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            cd, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (4, TT)
         ln_t = ln_t + jnp.sum(mf * ln1ma, axis=1, keepdims=True)  # (TT, 1)
         ncon = ncon + jnp.sum(
@@ -222,7 +223,8 @@ def _bwd_kernel(
         # u = cotangent contracted with this record's color/depth (MXU).
         cd = rec[6:10, :]  # (4, C)
         u = jax.lax.dot_general(
-            cot4, cd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            cot4, cd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (TT, C)
         wu = w * u
         acc_g = acc + (_scan_lanes(wu, reverse=True) - wu)  # strictly-later terms
@@ -245,7 +247,8 @@ def _bwd_kernel(
         # raw = exp(e)*op: d op = sum(draw * exp(e)) = sum(de) / op.
         d_op = jnp.sum(de, axis=0, keepdims=True) / jnp.where(op > 0.0, op, 1.0)
         d_cd = jax.lax.dot_general(
-            cot4, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            cot4, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (4, C): d colR, d colG, d colB, d depth
 
         grad_vmem[:, :] = jnp.concatenate(

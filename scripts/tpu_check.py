@@ -2,6 +2,7 @@
 import time
 import numpy as np
 import jax
+jax.config.update("jax_default_matmul_precision", "highest")
 import jax.numpy as jnp
 
 from gaussiansplattingmlx_tpu.ops import binning, rasterize_pallas, rasterize_ref
@@ -56,6 +57,11 @@ def loss_o(p):
     o = rasterize_ref.rasterize_reference(p, b.sorted_gauss_idx, b.sorted_tile_id, W, H, tw, th)
     return jnp.sum((o.color-target)**2) + 0.3*jnp.sum(o.depth**2) + 0.7*jnp.sum(o.alpha)
 g_o = jax.jit(jax.grad(loss_o))(packed)
-d = jnp.abs(g - g_o); rel = d / (jnp.abs(g_o) + 1e-3)
+d = jnp.abs(g - g_o)
+rel = d / (jnp.abs(g_o) + 1e-3)
+import numpy as _np
+gn = float(jnp.linalg.norm(g_o))
 print("grad maxdiff", float(d.max()), "maxrel", float(rel.max()))
+print("grad relnorm", float(jnp.linalg.norm(g - g_o)) / gn, "g_o norm", gn,
+      "g_o absmax", float(jnp.abs(g_o).max()))
 print("OK")
