@@ -10,6 +10,9 @@ this benchmark's first TPU v5e run (so later rounds track speedups); the
 reference publishes no numbers (BASELINE.md).
 """
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 import json
 import time
 

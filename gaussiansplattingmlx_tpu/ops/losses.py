@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import ssim as ssim_mod
@@ -53,3 +54,18 @@ def total_loss(
     d = depth_loss(depth, target_depth, depth_mask)
     loss = (1.0 - lambda_dssim) * l1 + lambda_dssim * (1.0 - ssim_val) + lambda_depth * d
     return loss, {"l1": l1, "ssim": ssim_val, "depth": d}
+
+
+def smooth_l1_ohem(pred, target, beta: float = 1.0, ohem_fraction: float = 1.0):
+    """Smooth-L1 with online hard example mining (SL1Loss,
+    Trainer/LossUtil.swift:12-36; present in the reference but unused in its
+    runtime loop).  Keeps the hardest `ohem_fraction` of per-element losses.
+    The top-k cut uses a static element count, so this jits cleanly."""
+    diff = jnp.abs(pred - target)
+    per_elem = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    flat = per_elem.reshape(-1)
+    if ohem_fraction >= 1.0:
+        return jnp.mean(flat)
+    k = max(1, int(flat.shape[0] * ohem_fraction))
+    top = jax.lax.top_k(flat, k)[0]
+    return jnp.mean(top)

@@ -67,7 +67,7 @@ def make_train_step(
     """Build the jitted train step.  Retraces per parameter capacity."""
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, views: Dict, view_idx, return_image: bool = False):
+    def train_step(state: TrainState, views: Dict, view_idx):
         take = lambda k: views[k][view_idx]
         active = gaussians.active_mask(state.params, state.num_active)
 
@@ -138,8 +138,11 @@ def make_train_step(
             "overflow_pairs": aux.overflow_pairs,
             "overflow_gaussians": aux.overflow_gaussians,
         }
-        image = out.color if return_image else None
-        return new_state, metrics, image
+        # The rendered image rides along (already computed on device); the
+        # host fetches it only at preview intervals — the counterpart of the
+        # reference's pushImageData every 20 iters (GaussianTrainer.swift:
+        # 1003-1044).
+        return new_state, metrics, out.color
 
     return train_step
 
@@ -271,10 +274,12 @@ class Trainer:
         final = {}
         for it in range(1, iterations + 1):
             view_idx = int(self.rng.integers(0, self.data.num_views))
-            self.state, metrics, _ = self.train_step(
+            self.state, metrics, image = self.train_step(
                 self.state, self.views, jnp.int32(view_idx)
             )
 
+            if it % cfg.preview_interval == 0 and cfg.output_dir:
+                self.save_preview(it, image, view_idx)
             if it % cfg.snapshot_interval == 0 and cfg.output_dir:
                 self.save_snapshot(it)
 
@@ -308,6 +313,39 @@ class Trainer:
         if n > 0.85 * cap and cap < self.cfg.model.max_gaussians:
             new_cap = min(cap * 2, _next_pow2(self.cfg.model.max_gaussians))
             self.state = grow_capacity(self.state, new_cap)
+
+    def save_preview(self, iteration: int, image, view_idx: int):
+        """Rendered/GT preview pair (TrainStatusView counterpart)."""
+        from PIL import Image as PILImage
+
+        d = self.out_dir / "previews"
+        d.mkdir(parents=True, exist_ok=True)
+        rendered = np.clip(np.asarray(image) * 255.0, 0, 255).astype(np.uint8)
+        gt = np.clip(self.data.images[view_idx] * 255.0, 0, 255).astype(np.uint8)
+        pair = np.concatenate([rendered, gt], axis=1)
+        PILImage.fromarray(pair).save(d / f"iter_{iteration:06d}_v{view_idx}.png")
+
+    def save_loss_curve(self, path=None):
+        """Loss/PSNR chart (LossChartView counterpart)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        if not self.history:
+            return
+        its = [m["iteration"] for m in self.history]
+        fig, ax1 = plt.subplots(figsize=(8, 4))
+        ax1.plot(its, [m["loss"] for m in self.history], label="loss", color="tab:red")
+        ax1.set_xlabel("iteration")
+        ax1.set_ylabel("loss")
+        ax2 = ax1.twinx()
+        ax2.plot(its, [m["psnr"] for m in self.history], label="psnr", color="tab:blue")
+        ax2.set_ylabel("psnr (dB)")
+        fig.tight_layout()
+        out = path if path else self.out_dir / "loss_curve.png"
+        fig.savefig(out, dpi=100)
+        plt.close(fig)
 
     def save_snapshot(self, iteration: int):
         from ..data import ply

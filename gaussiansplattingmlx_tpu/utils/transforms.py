@@ -100,3 +100,19 @@ def inv3x3(m):
         axis=-2,
     )
     return inv / det[..., None, None]
+
+
+def mask_to_indices(mask, fill_value: int = -1):
+    """Boolean mask -> (indices padded with fill_value, count).
+
+    Static-shape counterpart of the reference's atomic conditionToIndices
+    Metal kernel (GaussianSplattingMlxUtil.swift:9-53): the output has the
+    mask's length with valid indices compacted to the front, so it jits
+    (dynamic-size nonzero cannot).
+    """
+    mask = mask.reshape(-1)
+    n = mask.shape[0]
+    count = jnp.sum(mask.astype(jnp.int32))
+    order = jnp.argsort(~mask, stable=True)  # True entries first, stable
+    idx = jnp.where(jnp.arange(n) < count, order, fill_value)
+    return idx, count

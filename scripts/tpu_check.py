@@ -1,4 +1,7 @@
 """Compiled-Mosaic parity check on real TPU: pallas vs oracle."""
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 import time
 import numpy as np
 import jax

@@ -8,6 +8,9 @@ workload (datasets cannot be downloaded in this environment).
     python scripts/train_synthetic_tpu.py --iters 1500 --views 24 --size 256
 """
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 import argparse
 import sys
 import time

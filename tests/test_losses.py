@@ -47,3 +47,16 @@ def test_total_loss_weights(rng):
     loss, aux = losses.total_loss(img, target, depth, depth, jnp.zeros((16, 16)))
     expected = 0.8 * float(aux["l1"]) + 0.2 * (1.0 - float(aux["ssim"]))
     assert abs(float(loss) - expected) < 1e-6
+
+
+def test_smooth_l1_ohem(rng):
+    pred = jnp.asarray(rng.normal(size=(8, 8)).astype(np.float32))
+    target = jnp.zeros((8, 8))
+    full = float(losses.smooth_l1_ohem(pred, target, beta=1.0))
+    # Hand formula check on a known diff.
+    d = np.abs(np.asarray(pred))
+    expect = np.where(d < 1.0, 0.5 * d * d, d - 0.5).mean()
+    assert abs(full - expect) < 1e-6
+    # OHEM keeps the hardest half -> loss at least the full mean.
+    half = float(losses.smooth_l1_ohem(pred, target, ohem_fraction=0.5))
+    assert half >= full

@@ -116,12 +116,11 @@ def test_dp_matches_mean_of_single_steps(scene):
 
     # Manual average of 8 single-view grads -> same params after one Adam step.
     single = build_state(pts, cols)
-    grads_sum = None
-    losses = []
-    for i in range(8):
-        active = gaussians.active_mask(single.params, single.num_active)
+    active = gaussians.active_mask(single.params, single.num_active)
 
-        def loss_fn(ptuple, i=i):
+    @jax.jit
+    def grad_one(ptuple, i):
+        def loss_fn(ptuple):
             params = gaussians.GaussianParams.from_tuple(ptuple)
             means, shs, opacity, scales, rots = gaussians.activations(params, active)
             out, _ = render(
@@ -139,7 +138,12 @@ def test_dp_matches_mean_of_single_steps(scene):
             )
             return loss
 
-        l, g = jax.value_and_grad(loss_fn)(single.params.as_tuple())
+        return jax.value_and_grad(loss_fn)(ptuple)
+
+    grads_sum = None
+    losses = []
+    for i in range(8):
+        l, g = grad_one(single.params.as_tuple(), jnp.int32(i))
         losses.append(float(l))
         g = jax.tree.map(lambda x: x / 8.0, g)
         grads_sum = g if grads_sum is None else jax.tree.map(jnp.add, grads_sum, g)

@@ -95,7 +95,7 @@ def test_training_improves_psnr(scene):
     noisy = pts + np.random.default_rng(1).normal(size=pts.shape).astype(np.float32) * 0.05
     pc = PointCloud(coords=noisy, colors=cols * 255.0)
     cfg = TrainConfig(
-        iterations=120,
+        iterations=80,
         init_points=len(pts),
         log_interval=20,
         snapshot_interval=10**9,

@@ -65,3 +65,17 @@ def test_inv3x3(rng):
     np.testing.assert_allclose(
         inv @ m, np.broadcast_to(np.eye(3), m.shape), atol=5e-4
     )
+
+
+def test_mask_to_indices():
+    mask = jnp.asarray([False, True, False, True, True, False])
+    idx, count = tf.mask_to_indices(mask)
+    assert int(count) == 3
+    np.testing.assert_array_equal(np.asarray(idx), [1, 3, 4, -1, -1, -1])
+
+
+def test_mask_to_indices_jits():
+    f = jax.jit(tf.mask_to_indices)
+    idx, count = f(jnp.asarray([True, False, True]))
+    assert int(count) == 2
+    np.testing.assert_array_equal(np.asarray(idx)[:2], [0, 2])

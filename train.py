@@ -129,6 +129,7 @@ def main(argv=None):
         )
 
     final = trainer.run(on_metrics=on_metrics)
+    trainer.save_loss_curve()
     trainer.save_snapshot(int(trainer.state.step))
     trainer.save_checkpoint(int(trainer.state.step))
     print("final:", json.dumps(final))
