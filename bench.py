@@ -36,7 +36,7 @@ def main():
     W = H = 800
     N = 100_000
     SH_DEGREE = 3
-    cfg = RasterizerConfig(max_pairs=2**21, max_tiles_per_gaussian=32)
+    cfg = RasterizerConfig(max_pairs=2**20, max_tiles_per_gaussian=32)
 
     rng = np.random.default_rng(0)
     # Lego-like scene: points in a unit-ish volume, camera orbiting at r=4.

@@ -24,17 +24,19 @@ class RasterizerConfig:
     """
 
     # Pixel tile size.  The reference trains with a 4x4 grid of giant tiles
-    # (ColmapDataLoader.swift:494-499) and renders with 64x64; on TPU 32x32
-    # maps each tile onto a single (8, 128) vector register set.
-    tile_h: int = 32
-    tile_w: int = 32
+    # (ColmapDataLoader.swift:494-499) and renders with 64x64.  16x16 keeps
+    # the per-chunk working set at (256, chunk) — Mosaic compiles it ~6x
+    # faster than 32x32 and the finer grid culls better; see
+    # scripts/kernel_tune.py.
+    tile_h: int = 16
+    tile_w: int = 16
     # Max tiles a single Gaussian may be binned into (static per-Gaussian
     # expansion).  Gaussians touching more tiles keep the first
     # `max_tiles_per_gaussian` tiles in row-major order; an overflow counter
     # is reported so capacity can be raised.
     max_tiles_per_gaussian: int = 64
     # Global (gaussian, tile) pair budget for the depth sort.
-    max_pairs: int = 2 ** 21  # 2M pairs
+    max_pairs: int = 2 ** 20  # 1M pairs
     # Gaussian records processed per inner chunk of the Pallas kernel.
     chunk_size: int = 128
     # Compositing constants (tile_global_kernels.slang:453-455,599).

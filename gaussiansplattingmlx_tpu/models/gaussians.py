@@ -82,20 +82,50 @@ def knn_mean_sq_dist(points: np.ndarray, k: int = 3, chunk: int = 2048) -> np.nd
 
     Correct chunked implementation — the reference's distTopK has a stride bug
     (GaussianModel.swift:15-18) that only fills the first 256 entries; SURVEY
-    §"quirks" directs us NOT to replicate it.
+    §"quirks" directs us NOT to replicate it.  Runs on the default JAX device
+    (TPU when available): distances via the gemm expansion
+    |a-b|^2 = |a|^2 + |b|^2 - 2 a.b, selection via lax.top_k per block.
     """
     points = np.asarray(points, dtype=np.float32)
     n = points.shape[0]
-    out = np.empty(n, dtype=np.float32)
-    for start in range(0, n, chunk):
-        block = points[start : start + chunk]  # [B, 3]
-        d2 = ((block[:, None, :] - points[None, :, :]) ** 2).sum(-1)  # [B, N]
-        idx = np.arange(start, start + block.shape[0])
-        d2[np.arange(block.shape[0]), idx] = np.inf  # exclude self
-        kk = min(k, n - 1)
-        part = np.partition(d2, kk - 1, axis=1)[:, :kk]
-        out[start : start + block.shape[0]] = part.mean(axis=1)
-    return out
+    kk = min(k, n - 1)
+    pad = (-n) % chunk
+    pts_pad = np.pad(points, ((0, pad), (0, 0)))
+    pts_dev = jnp.asarray(pts_pad)
+    sq_dev = jnp.sum(pts_dev * pts_dev, axis=1)
+
+    @jax.jit
+    def block_knn(start):
+        block = jax.lax.dynamic_slice_in_dim(pts_dev, start, chunk)
+        bsq = jax.lax.dynamic_slice_in_dim(sq_dev, start, chunk)
+        d2 = (
+            bsq[:, None]
+            + sq_dev[None, :]
+            - 2.0
+            * jnp.dot(block, pts_dev.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        )
+        col = jnp.arange(n + pad)[None, :]
+        row = start + jnp.arange(chunk)[:, None]
+        d2 = jnp.where(col == row, jnp.inf, d2)  # exclude self
+        d2 = jnp.where(col >= n, jnp.inf, d2)  # exclude padding
+        d2 = jnp.maximum(d2, 0.0)
+        # k smallest via k unrolled min+mask passes (k is tiny; lax.top_k
+        # over 10^5 lanes is far slower on TPU).
+        total = jnp.zeros((chunk,), jnp.float32)
+        for _ in range(kk):
+            m = jnp.min(d2, axis=1)
+            total = total + m
+            # Remove exactly one occurrence (argmin = first) so duplicate
+            # distances are counted like a true top-k.
+            am = jnp.argmin(d2, axis=1)
+            d2 = jnp.where(col == am[:, None], jnp.inf, d2)
+        return total / kk
+
+    out = np.concatenate(
+        [np.asarray(block_knn(jnp.int32(s))) for s in range(0, n + pad, chunk)]
+    )
+    return out[:n]
 
 
 def create_from_points(

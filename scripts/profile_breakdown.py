@@ -1,0 +1,139 @@
+"""Stage-by-stage timing of the train step on real TPU: projection, binning
+(expand/sort/ranges), record gather, rasterizer fwd, rasterizer bwd."""
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def timeit(fn, *args, iters=10):
+    import jax
+
+    r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=400)
+    ap.add_argument("--gaussians", type=int, default=50000)
+    ap.add_argument("--tile", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--max-pairs", type=int, default=2**20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussiansplattingmlx_tpu.config import RasterizerConfig
+    from gaussiansplattingmlx_tpu.models import gaussians
+    from gaussiansplattingmlx_tpu.ops import binning as binning_mod
+    from gaussiansplattingmlx_tpu.ops import losses as losses_mod
+    from gaussiansplattingmlx_tpu.ops import projection, rasterize_pallas, rasterize_ref
+    from gaussiansplattingmlx_tpu.render import render
+    from gaussiansplattingmlx_tpu.utils.camera import Camera
+
+    W = H = args.size
+    N = args.gaussians
+    cfg = RasterizerConfig(
+        tile_h=args.tile, tile_w=args.tile, chunk_size=args.chunk,
+        max_pairs=args.max_pairs, max_tiles_per_gaussian=32,
+    )
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(N, 3)).astype(np.float32) * 0.6
+    cols = rng.uniform(0.05, 0.95, size=(N, 3)).astype(np.float32)
+    params, _ = gaussians.create_from_points(pts, cols, sh_degree=3, capacity=N)
+    c2w = np.eye(4)
+    c2w[2, 3] = -4.0
+    cam = Camera.from_c2w(W, H, 1.4 * W, 1.4 * W, c2w)
+    t = cam.tensors()
+    cam_args = (
+        jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+        jnp.asarray(t["camera_center"]),
+        t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
+    )
+    target = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
+    zeros_hw = jnp.zeros((H, W), jnp.float32)
+
+    means, shs, opacity, scales, rots = gaussians.activations(params)
+
+    @jax.jit
+    def stage_project(means, scales, rots, shs):
+        return projection.project_gaussians(
+            means, scales, rots, shs, *cam_args, W, H, 3
+        )
+
+    p = jax.tree.map(lambda x: x, stage_project(means, scales, rots, shs))
+
+    @jax.jit
+    def stage_bin(p):
+        return binning_mod.bin_gaussians(
+            p.rect_min, p.rect_max, p.radii, p.depths, W, H,
+            cfg.tile_w, cfg.tile_h, cfg.max_tiles_per_gaussian, cfg.max_pairs,
+        )
+
+    b = stage_bin(p)
+    packed = rasterize_ref.pack_gaussians(p.means2d, p.conic, p.colors, opacity, p.depths)
+
+    @jax.jit
+    def stage_raster_fwd(packed, b):
+        return rasterize_pallas.rasterize_pallas(
+            packed, b.sorted_gauss_idx, b.pair_valid, b.tile_start, b.tile_count,
+            W, H, cfg.tile_w, cfg.tile_h, chunk_size=cfg.chunk_size,
+        )
+
+    @jax.jit
+    def stage_raster_both(packed, b):
+        def f(pk):
+            out = rasterize_pallas.rasterize_pallas(
+                pk, b.sorted_gauss_idx, b.pair_valid, b.tile_start, b.tile_count,
+                W, H, cfg.tile_w, cfg.tile_h, chunk_size=cfg.chunk_size,
+            )
+            return jnp.sum((out.color - target) ** 2) + jnp.sum(out.alpha)
+
+        return jax.value_and_grad(f)(packed)
+
+    @jax.jit
+    def full_fwd(means, shs, opacity, scales, rots):
+        out, _ = render(
+            means, shs, opacity, scales, rots, *cam_args, W, H, 3, raster_cfg=cfg
+        )
+        loss, _ = losses_mod.total_loss(out.color, target, out.depth, zeros_hw, zeros_hw)
+        return loss
+
+    @jax.jit
+    def full_both(ptuple):
+        def f(pt):
+            pp = gaussians.GaussianParams.from_tuple(pt)
+            m, s, o, sc, r = gaussians.activations(pp)
+            out, _ = render(m, s, o, sc, r, *cam_args, W, H, 3, raster_cfg=cfg)
+            loss, _ = losses_mod.total_loss(out.color, target, out.depth, zeros_hw, zeros_hw)
+            return loss
+
+        return jax.value_and_grad(f)(ptuple)
+
+    print(f"workload {W}x{H}, {N} gaussians, tile {args.tile}, chunk {args.chunk}, "
+          f"max_pairs {args.max_pairs}, pairs={int(b.num_pairs)}")
+    print(f"projection        {timeit(stage_project, means, scales, rots, shs):8.2f} ms", flush=True)
+    print(f"binning           {timeit(stage_bin, p):8.2f} ms", flush=True)
+    print(f"raster fwd        {timeit(stage_raster_fwd, packed, b):8.2f} ms", flush=True)
+    print(f"raster fwd+bwd    {timeit(stage_raster_both, packed, b):8.2f} ms", flush=True)
+    print(f"full fwd          {timeit(full_fwd, means, shs, opacity, scales, rots):8.2f} ms", flush=True)
+    print(f"full fwd+bwd      {timeit(full_both, params.as_tuple()):8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,8 @@ def test_knn_chunked_matches_unchunked(rng):
     pts = rng.normal(size=(300, 3)).astype(np.float32)
     a = gaussians.knn_mean_sq_dist(pts, k=3, chunk=300)
     b = gaussians.knn_mean_sq_dist(pts, k=3, chunk=37)
-    np.testing.assert_allclose(a, b, rtol=1e-6)
+    # gemm-form distances differ in last-ulp cancellation across chunkings
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
 def test_create_from_points(rng):
