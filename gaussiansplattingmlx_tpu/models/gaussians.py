@@ -172,12 +172,21 @@ def create_from_points(
         shape = (capacity - n,) + x.shape[1:]
         return np.concatenate([x, np.full(shape, fill, x.dtype)], axis=0)
 
+    def pad_quat(x):
+        # Inactive slots carry identity quats: a zero quaternion would put
+        # 0/0 = NaN into the normalize VJP even at zero cotangent.
+        if capacity == n:
+            return x
+        extra = np.zeros((capacity - n, 4), x.dtype)
+        extra[:, 0] = 1.0
+        return np.concatenate([x, extra], axis=0)
+
     params = GaussianParams(
         xyz=jnp.asarray(pad(points)),
         features_dc=jnp.asarray(pad(dc)),
         features_rest=jnp.asarray(pad(rest)),
         scales=jnp.asarray(pad(scales)),
-        rotation=jnp.asarray(pad(rots)),
+        rotation=jnp.asarray(pad_quat(rots)),
         opacity=jnp.asarray(pad(opacity, INACTIVE_OPACITY)),
     )
     return params, n

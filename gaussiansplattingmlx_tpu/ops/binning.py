@@ -6,15 +6,16 @@ build_packed_tile_indices, slang/gaussian_tile_global_kernels.slang:8-404)
 whose two `.item()` host syncs (GaussianRenderer.swift:398-409,462) are
 impossible under `jax.jit`.  The TPU design:
 
-  1. Per-Aussian tile footprint from the screen rect — identical tile index
+  1. Per-Gaussian tile footprint from the screen rect — identical tile index
      math to count_tiles_per_gaussian (floor(min/tile) .. floor(max/tile)+1,
      clamped to the grid).
-  2. Expansion to at most `max_tiles_per_gaussian` (R) pairs per Gaussian,
-     scatter-compacted into a static `max_pairs` buffer at exclusive-cumsum
-     offsets (chunked over N to bound the [chunk, R] intermediate).
+  2. Dense [N, R] candidate expansion (R = max_tiles_per_gaussian static cap)
+     with invalid slots keyed to a sentinel tile.
   3. One stable lexicographic `lax.sort` on (tile_id, depth) with the Gaussian
-     index as payload — sorting replaces the reference's hand-written
-     single-threadgroup radix sort; XLA's sort is the right tool on TPU.
+     index as payload, truncated to the static `max_pairs` budget — sorting
+     replaces the reference's hand-written single-threadgroup radix sort.
+     XLA's TPU sort runs at ~10 Gelem/s while TPU scatters serialize, so the
+     pipeline is deliberately sort/gather-only (no scatter compaction).
   4. Per-tile (start, count) ranges via searchsorted — the analogue of
      compute_tile_ranges.
 
@@ -68,8 +69,9 @@ def bin_gaussians(
     tile_h: int,
     max_tiles_per_gaussian: int,
     max_pairs: int,
-    expand_chunk: int = 65536,
+    expand_chunk: int = 0,  # retained for API compatibility; unused
 ) -> TileBinning:
+    del expand_chunk
     n = rect_min.shape[0]
     grid_w = -(-image_width // tile_w)
     grid_h = -(-image_height // tile_h)
@@ -88,81 +90,47 @@ def bin_gaussians(
     rw = jnp.where(active, tmax_x - tmin_x, 0)
     rh = jnp.where(active, tmax_y - tmin_y, 0)
     footprint = rw * rh  # true tile count per gaussian
-    count = jnp.minimum(footprint, R)  # truncated to static cap
+    count = jnp.minimum(footprint, R)  # truncated to the static cap
     overflow_gaussians = jnp.sum((footprint > R).astype(jnp.int32))
-
-    offsets = jnp.cumsum(count) - count  # exclusive prefix sum
     total = jnp.sum(count)
     num_pairs = jnp.minimum(total, max_pairs)
     overflow_pairs = jnp.maximum(total - max_pairs, 0)
 
-    # Static scatter buffers; sentinel tile id sorts all padding to the end.
-    tile_id_buf = jnp.full((max_pairs,), num_tiles, dtype=jnp.int32)
-    depth_buf = jnp.full((max_pairs,), jnp.inf, dtype=jnp.float32)
-    idx_buf = jnp.zeros((max_pairs,), dtype=jnp.int32)
-
+    # Dense [N, R] candidates; invalid slots keyed to the sentinel tile so the
+    # sort pushes them past every real pair.
     r_iota = jnp.arange(R, dtype=jnp.int32)[None, :]  # [1, R]
-
-    def expand_block(start, bufs):
-        tile_id_buf, depth_buf, idx_buf = bufs
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, expand_chunk)
-        b_tmin_x, b_tmin_y = sl(tmin_x), sl(tmin_y)
-        b_rw, b_count = sl(rw), sl(count)
-        b_off, b_depth = sl(offsets), sl(depths)
-        b_ids = start + jnp.arange(expand_chunk, dtype=jnp.int32)
-
-        safe_rw = jnp.maximum(b_rw, 1)[:, None]
-        ty = b_tmin_y[:, None] + r_iota // safe_rw
-        tx = b_tmin_x[:, None] + r_iota % safe_rw
-        tile_ids = ty * grid_w + tx  # [chunk, R]
-        valid = (r_iota < b_count[:, None]) & (b_ids[:, None] < n)
-        pos = jnp.where(valid, b_off[:, None] + r_iota, max_pairs)
-
-        pos = pos.reshape(-1)
-        tile_id_buf = tile_id_buf.at[pos].set(
-            tile_ids.reshape(-1), mode="drop", unique_indices=True
-        )
-        depth_buf = depth_buf.at[pos].set(
-            jnp.broadcast_to(b_depth[:, None], (expand_chunk, R)).reshape(-1),
-            mode="drop",
-            unique_indices=True,
-        )
-        idx_buf = idx_buf.at[pos].set(
-            jnp.broadcast_to(b_ids[:, None], (expand_chunk, R)).reshape(-1),
-            mode="drop",
-            unique_indices=True,
-        )
-        return tile_id_buf, depth_buf, idx_buf
-
-    if n <= expand_chunk:
-        expand_chunk = n
-        tile_id_buf, depth_buf, idx_buf = expand_block(
-            0, (tile_id_buf, depth_buf, idx_buf)
-        )
-    else:
-        # Pad-free chunked loop: valid mask drops ids >= n in the last block.
-        num_blocks = -(-n // expand_chunk)
-        pad = num_blocks * expand_chunk - n
-        if pad:
-            tmin_x = jnp.pad(tmin_x, (0, pad))
-            tmin_y = jnp.pad(tmin_y, (0, pad))
-            rw = jnp.pad(rw, (0, pad))
-            count = jnp.pad(count, (0, pad))
-            offsets = jnp.pad(offsets, (0, pad))
-            depths = jnp.pad(depths, (0, pad))
-
-        def body(i, bufs):
-            return expand_block(i * expand_chunk, bufs)
-
-        tile_id_buf, depth_buf, idx_buf = jax.lax.fori_loop(
-            0, num_blocks, body, (tile_id_buf, depth_buf, idx_buf)
-        )
+    safe_rw = jnp.maximum(rw, 1)[:, None]
+    ty = tmin_y[:, None] + r_iota // safe_rw
+    tx = tmin_x[:, None] + r_iota % safe_rw
+    valid = r_iota < count[:, None]
+    tile_ids = jnp.where(valid, ty * grid_w + tx, num_tiles)
+    depth_keys = jnp.where(valid, depths[:, None], jnp.inf)
+    gauss_ids = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, R)
+    )
 
     # Stable lexicographic sort on (tile, depth); stability preserves gaussian
-    # index order on depth ties like the reference's LSD radix sort.
+    # index order on depth ties like the reference's LSD radix sort.  The
+    # row-major [N, R] flattening enumerates candidates in gaussian order, so
+    # stability semantics match the reference's generate_keys emission order.
     sorted_tile, _, sorted_idx = jax.lax.sort(
-        (tile_id_buf, depth_buf, idx_buf), num_keys=2, is_stable=True
+        (
+            tile_ids.reshape(-1),
+            depth_keys.reshape(-1),
+            gauss_ids.reshape(-1),
+        ),
+        num_keys=2,
+        is_stable=True,
     )
+    if n * R >= max_pairs:
+        sorted_tile = sorted_tile[:max_pairs]
+        sorted_idx = sorted_idx[:max_pairs]
+    else:
+        pad = max_pairs - n * R
+        sorted_tile = jnp.concatenate(
+            [sorted_tile, jnp.full((pad,), num_tiles, jnp.int32)]
+        )
+        sorted_idx = jnp.concatenate([sorted_idx, jnp.zeros((pad,), jnp.int32)])
 
     tile_iota = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(sorted_tile, tile_iota, side="left").astype(jnp.int32)

@@ -399,28 +399,23 @@ def rasterize_pallas(
         interpret=interpret,
     )
 
-    # --- chunk-aligned pair layout -----------------------------------------
+    # --- chunk-aligned pair layout (gather-only: TPU scatters serialize) ----
     nchunks_per_tile = -(-tile_count // C)  # ceil
     aligned_sizes = nchunks_per_tile * C
     aligned_start = (jnp.cumsum(aligned_sizes) - aligned_sizes).astype(jnp.int32)
-    pair_pos = jnp.arange(max_pairs, dtype=jnp.int32)
-    # Each valid pair's tile: count of tiles whose range ends at or before it.
-    tile_of_pair = jnp.searchsorted(
-        jnp.cumsum(tile_count).astype(jnp.int32), pair_pos, side="right"
-    ).astype(jnp.int32)
-    tile_of_pair = jnp.minimum(tile_of_pair, num_tiles - 1)
-    rank = pair_pos - tile_start[tile_of_pair]
-    new_pos = jnp.where(pair_valid, aligned_start[tile_of_pair] + rank, num_aligned)
-    aligned_idx = (
-        jnp.zeros((num_aligned,), jnp.int32)
-        .at[new_pos]
-        .set(sorted_gauss_idx, mode="drop", unique_indices=True)
+    # For each aligned slot j, its owning tile is the last tile whose aligned
+    # range starts at or before j (empty tiles share the next tile's start and
+    # own no slots, so bisect-right lands on the true owner).
+    slot = jnp.arange(num_aligned, dtype=jnp.int32)
+    owner = (
+        jnp.searchsorted(aligned_start, slot, side="right").astype(jnp.int32) - 1
     )
-    aligned_valid = (
-        jnp.zeros((num_aligned,), jnp.bool_)
-        .at[new_pos]
-        .set(True, mode="drop", unique_indices=True)
-    )
+    owner = jnp.clip(owner, 0, num_tiles - 1)
+    rank = slot - aligned_start[owner]
+    within = rank < tile_count[owner]
+    src = jnp.where(within, tile_start[owner] + rank, 0)
+    aligned_idx = jnp.where(within, sorted_gauss_idx[src], 0)
+    aligned_valid = within
 
     # --- records in kernel layout ------------------------------------------
     # Reference layout [.., opacity, depth] -> kernel layout [.., depth, op].

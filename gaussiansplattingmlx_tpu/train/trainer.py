@@ -194,12 +194,14 @@ def grow_capacity(state: TrainState, new_capacity: int) -> TrainState:
         widths = [(0, pad_n)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths, constant_values=fill)
 
+    quat_pad = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (pad_n, 1))
     params = GaussianParams(
         xyz=pad(state.params.xyz),
         features_dc=pad(state.params.features_dc),
         features_rest=pad(state.params.features_rest),
         scales=pad(state.params.scales),
-        rotation=pad(state.params.rotation),
+        # identity quats: zero quats NaN the normalize VJP
+        rotation=jnp.concatenate([state.params.rotation, quat_pad], axis=0),
         opacity=pad(state.params.opacity, INACTIVE_OPACITY),
     )
     opt = adam.AdamState(

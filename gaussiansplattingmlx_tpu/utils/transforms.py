@@ -22,10 +22,15 @@ def homogeneous(points):
 
 
 def normalize_quaternion(quat, eps: float = 1e-8):
-    """Row-normalize w-first quaternions with the reference's 1e-8 norm guard
-    (GaussianSplattingMlxUtil.swift:66-95, shared.slang:130-135)."""
-    norm = jnp.sqrt(jnp.sum(quat * quat, axis=-1, keepdims=True))
-    return quat / jnp.maximum(norm, eps)
+    """Row-normalize w-first quaternions.
+
+    The reference guards with max(norm, 1e-8) (shared.slang:130-135); we use
+    the smooth sqrt(|q|^2 + eps^2) form, identical to float precision for any
+    real quaternion but with a finite gradient at q = 0 (max(sqrt(0), eps)
+    back-propagates 0/0 = NaN through the sqrt even when the cotangent is
+    zero)."""
+    norm = jnp.sqrt(jnp.sum(quat * quat, axis=-1, keepdims=True) + eps * eps)
+    return quat / norm
 
 
 def quat_to_rotmat(quat, eps: float = 1e-8):
