@@ -89,6 +89,33 @@ def _scan_lanes(x, reverse: bool):
     return x
 
 
+def _scan_prod(x, reverse: bool, exclusive: bool = False):
+    """Prefix (or suffix) product along axis 1, shifting in ones.
+
+    Linear-space transmittance scans match the reference's serial float
+    arithmetic (it multiplies, it doesn't sum logs) and avoid 3 transcendental
+    passes per chunk.  No underflow hazard: see kernel comments."""
+    ones = jnp.ones_like(x[:, :1])
+    if exclusive:
+        if reverse:
+            x = jnp.concatenate([x[:, 1:], ones], axis=1)
+        else:
+            x = jnp.concatenate([ones, x[:, :-1]], axis=1)
+    n = x.shape[1]
+    shift = 1
+    while shift < n:
+        if reverse:
+            x = x * jnp.concatenate(
+                [x[:, shift:], jnp.broadcast_to(ones, (x.shape[0], shift))], axis=1
+            )
+        else:
+            x = x * jnp.concatenate(
+                [jnp.broadcast_to(ones, (x.shape[0], shift)), x[:, :-shift]], axis=1
+            )
+        shift *= 2
+    return x
+
+
 def _tile_pixel_coords(t, st: RasterStatic):
     """Global pixel coordinates for this tile as (TT, 1) float columns."""
     tt = st.tile_h * st.tile_w
@@ -119,6 +146,22 @@ def _chunk_alpha(rec, px, py, valid_row, st: RasterStatic):
     return a, raw, dx, dy, c00, cs, c11
 
 
+def _rec_copy(rec_hbm, rec_vmem, sem, start, ci, slot, C):
+    """Descriptor for the chunk-`ci` record DMA into double-buffer `slot`."""
+    cstart = pl.multiple_of(start + ci * C, C)
+    return pltpu.make_async_copy(
+        rec_hbm.at[:, pl.ds(cstart, C)], rec_vmem.at[slot], sem.at[slot]
+    )
+
+
+def _grad_copy(grad_hbm, grad_vmem, gsem, start, ci, slot, C):
+    """Descriptor for the chunk-`ci` gradient write from double-buffer `slot`."""
+    cstart = pl.multiple_of(start + ci * C, C)
+    return pltpu.make_async_copy(
+        grad_vmem.at[slot], grad_hbm.at[:, pl.ds(cstart, C)], gsem.at[slot]
+    )
+
+
 def _fwd_kernel(start_ref, count_ref, rec_hbm, out_ref, rec_vmem, sem, *, st: RasterStatic):
     C = st.chunk
     tt = st.tile_h * st.tile_w
@@ -127,28 +170,33 @@ def _fwd_kernel(start_ref, count_ref, rec_hbm, out_ref, rec_vmem, sem, *, st: Ra
     count = count_ref[t]
     px, py = _tile_pixel_coords(t, st)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-    ln_eps = math.log(st.transmittance_eps)
+    eps = st.transmittance_eps
     nchunks = pl.cdiv(count, C)
+
+    @pl.when(nchunks > 0)
+    def _():
+        _rec_copy(rec_hbm, rec_vmem, sem, start, 0, 0, C).start()
 
     def cond(carry):
         ci, _, _, _, alive = carry
         return jnp.logical_and(ci < nchunks, alive)
 
     def body(carry):
-        ci, ln_t, acc4, ncon, _ = carry
-        cstart = pl.multiple_of(start + ci * C, C)
-        copy = pltpu.make_async_copy(
-            rec_hbm.at[:, pl.ds(cstart, C)], rec_vmem, sem
-        )
-        copy.start()
-        copy.wait()
-        rec = rec_vmem[:, :]
+        ci, t_in, acc4, ncon, _ = carry
+        slot = jax.lax.rem(ci, 2)
+        _rec_copy(rec_hbm, rec_vmem, sem, start, ci, slot, C).wait()
+
+        # Prefetch the next chunk while this one computes.
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            _rec_copy(rec_hbm, rec_vmem, sem, start, ci + 1, 1 - slot, C).start()
+
+        rec = rec_vmem[slot]
         valid = (lane_iota + ci * C) < count  # (1, C)
         a, _, _, _, _, _, _ = _chunk_alpha(rec, px, py, valid, st)
-        ln1ma = jnp.log(1.0 - a)
-        ln_tu = ln_t + (_scan_lanes(ln1ma, reverse=False) - ln1ma)  # exclusive
-        tu = jnp.exp(ln_tu)
-        m = ln_tu >= ln_eps  # include mask; invalid lanes have a = 0 anyway
+        om = 1.0 - a  # 1 for invalid lanes
+        tu = t_in * _scan_prod(om, reverse=False, exclusive=True)  # (TT, C)
+        m = tu >= eps  # include mask; linear space = serial semantics exactly
         mf = jnp.where(m, 1.0, 0.0)
         w = tu * a * mf  # (TT, C)
         cd = rec[6:10, :]  # (4, C): RGB + depth
@@ -156,22 +204,31 @@ def _fwd_kernel(start_ref, count_ref, rec_hbm, out_ref, rec_vmem, sem, *, st: Ra
             cd, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (4, TT)
-        ln_t = ln_t + jnp.sum(mf * ln1ma, axis=1, keepdims=True)  # (TT, 1)
+        t_in = t_in * jnp.prod(jnp.where(m, om, 1.0), axis=1, keepdims=True)
         ncon = ncon + jnp.sum(
             jnp.where(jnp.logical_and(m, valid), 1.0, 0.0), axis=1, keepdims=True
         )
-        alive = jnp.max(ln_t) >= ln_eps
-        return ci + 1, ln_t, acc4, ncon, alive
+        alive = jnp.max(t_in) >= eps
+        return ci + 1, t_in, acc4, ncon, alive
 
     init = (
         jnp.int32(0),
-        jnp.zeros((tt, 1), jnp.float32),
+        jnp.ones((tt, 1), jnp.float32),
         jnp.zeros((4, tt), jnp.float32),
         jnp.zeros((tt, 1), jnp.float32),
         jnp.bool_(True),
     )
-    _, ln_t, acc4, ncon, _ = jax.lax.while_loop(cond, body, init)
-    alpha = (1.0 - jnp.exp(ln_t)).reshape(1, tt)
+    final_ci, t_fin, acc4, ncon, _ = jax.lax.while_loop(cond, body, init)
+
+    # Early exit may leave one prefetched chunk in flight: drain it so the
+    # semaphore is clean for the next grid step.
+    @pl.when(final_ci < nchunks)
+    def _():
+        _rec_copy(
+            rec_hbm, rec_vmem, sem, start, final_ci, jax.lax.rem(final_ci, 2), C
+        ).wait()
+
+    alpha = (1.0 - t_fin).reshape(1, tt)
     out_ref[0] = jnp.concatenate([acc4, alpha, ncon.reshape(1, tt)], axis=0)
 
 
@@ -194,30 +251,37 @@ def _bwd_kernel(
     cot_alpha = cot_ref[0, :, 4:5]  # (TT, 1)
     alpha_fwd = cot_ref[0, :, 5:6]
     ncon = cot_ref[0, :, 6:7]
-    # T_final >= eps*(1-alpha_clamp) > 0: the early exit stops multiplying
-    # factors once T < eps, so the log below is always finite.
     t_final = 1.0 - alpha_fwd
     cot_t_fin = -cot_alpha  # alpha = 1 - T_final; background applied outside
     tfin_term = cot_t_fin * t_final  # (TT, 1), constant over the march
 
+    @pl.when(nchunks > 0)
+    def _():
+        _rec_copy(rec_hbm, rec_vmem, sem, start, nchunks - 1, 0, C).start()
+
     def body(k, carry):
-        ln_t_end, acc = carry
+        t_end, acc = carry
         ci = nchunks - 1 - k
-        cstart = pl.multiple_of(start + ci * C, C)
-        copy = pltpu.make_async_copy(rec_hbm.at[:, pl.ds(cstart, C)], rec_vmem, sem)
-        copy.start()
-        copy.wait()
-        rec = rec_vmem[:, :]
+        slot = jax.lax.rem(k, 2)
+        _rec_copy(rec_hbm, rec_vmem, sem, start, ci, slot, C).wait()
+
+        @pl.when(ci > 0)
+        def _():
+            _rec_copy(rec_hbm, rec_vmem, sem, start, ci - 1, 1 - slot, C).start()
+
+        rec = rec_vmem[slot]
         valid = (lane_iota + ci * C) < count
         a, raw, dx, dy, c00, cs, c11 = _chunk_alpha(rec, px, py, valid, st)
         # Include-mask replayed from the stored per-pixel contributor count —
         # exact forward early-exit replay (slang :766 uses lastContrib).
         m = (lane_iota + ci * C).astype(jnp.float32) < ncon  # (TT, C)
         mf = jnp.where(m, 1.0, 0.0)
-        ln1ma_m = mf * jnp.log(1.0 - a)
-        suf = _scan_lanes(ln1ma_m, reverse=True)  # inclusive suffix
-        ln_tu = ln_t_end - suf
-        tu = jnp.exp(ln_tu)
+        om_m = jnp.where(m, 1.0 - a, 1.0)
+        # Masked suffix product sp_j = T_end / Tu_j is bounded below by
+        # T_final >= eps*(1-alpha_clamp): the early exit freezes T once it
+        # crosses eps, so the division cannot underflow/overflow.
+        sp = _scan_prod(om_m, reverse=True)  # inclusive suffix
+        tu = t_end / sp
         w = tu * a * mf  # (TT, C)
 
         # u = cotangent contracted with this record's color/depth (MXU).
@@ -251,27 +315,42 @@ def _bwd_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )  # (4, C): d colR, d colG, d colB, d depth
 
-        grad_vmem[:, :] = jnp.concatenate(
+        # Double-buffered gradient write-back: wait for the write two steps
+        # ago before overwriting its slot.
+        @pl.when(k >= 2)
+        def _():
+            _grad_copy(grad_ref, grad_vmem, gsem, start, ci + 2, slot, C).wait()
+
+        grad_vmem[slot] = jnp.concatenate(
             [d_mx, d_my, d_c00, d_cs, d_cs, d_c11, d_cd, d_op,
              jnp.zeros((REC_DIM - 11, C), jnp.float32)],
             axis=0,
         )
-        out_copy = pltpu.make_async_copy(
-            grad_vmem, grad_ref.at[:, pl.ds(cstart, C)], gsem
-        )
-        out_copy.start()
-        out_copy.wait()
+        _grad_copy(grad_ref, grad_vmem, gsem, start, ci, slot, C).start()
 
-        ln_t_end = ln_t_end - jnp.sum(ln1ma_m, axis=1, keepdims=True)
+        t_end = t_end / sp[:, 0:1]  # = T at the start of this chunk
         acc = acc + jnp.sum(wu, axis=1, keepdims=True)
-        return ln_t_end, acc
+        return t_end, acc
 
     jax.lax.fori_loop(
         0,
         nchunks,
         body,
-        (jnp.log(t_final), jnp.zeros((tt, 1), jnp.float32)),
+        (t_final, jnp.zeros((tt, 1), jnp.float32)),
     )
+
+    # Drain the last (up to) two in-flight gradient writes.
+    @pl.when(nchunks >= 1)
+    def _():
+        _grad_copy(
+            grad_ref, grad_vmem, gsem, start, 0, jax.lax.rem(nchunks - 1, 2), C
+        ).wait()
+
+    @pl.when(nchunks >= 2)
+    def _():
+        _grad_copy(
+            grad_ref, grad_vmem, gsem, start, 1, jax.lax.rem(nchunks - 2, 2), C
+        ).wait()
 
 
 def _zero_cot(x):
@@ -297,8 +376,8 @@ def _fwd_call(st: RasterStatic, records_cm, aligned_start, tile_count):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((REC_DIM, st.chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, REC_DIM, st.chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -334,10 +413,10 @@ def _raster_bwd(st: RasterStatic, residuals, cot_out):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((REC_DIM, st.chunk), jnp.float32),
-            pltpu.VMEM((REC_DIM, st.chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, REC_DIM, st.chunk), jnp.float32),
+            pltpu.VMEM((2, REC_DIM, st.chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     grad_records = pl.pallas_call(
