@@ -204,7 +204,12 @@ def _fwd_kernel(start_ref, count_ref, rec_hbm, out_ref, rec_vmem, sem, *, st: Ra
             cd, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (4, TT)
-        t_in = t_in * jnp.prod(jnp.where(m, om, 1.0), axis=1, keepdims=True)
+        # T after the chunk = running product at the LAST included lane
+        # = min over included lanes of tu*om (the running products decrease);
+        # Mosaic has no reduce_prod, but reduce_min works.
+        has = jnp.max(mf, axis=1, keepdims=True)
+        t_after = jnp.min(jnp.where(m, tu * om, 1.0), axis=1, keepdims=True)
+        t_in = jnp.where(has > 0.0, t_after, t_in)
         ncon = ncon + jnp.sum(
             jnp.where(jnp.logical_and(m, valid), 1.0, 0.0), axis=1, keepdims=True
         )
