@@ -116,34 +116,65 @@ def _scan_prod(x, reverse: bool, exclusive: bool = False):
     return x
 
 
-def _tile_pixel_coords(t, st: RasterStatic):
-    """Global pixel coordinates for this tile as (TT, 1) float columns."""
+def _mm(a, b, dims):
+    """MXU contraction with full-f32 accumulation (default precision runs
+    bf16 passes that visibly corrupt color/gradients)."""
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _tile_basis(st: RasterStatic):
+    """Per-tile pixel basis [1, x, y, x^2, y^2, xy] in TILE-LOCAL coordinates
+    as a (TT, 6) block.  Tile-local coordinates keep the expanded quadratic
+    form numerically tame (global coordinates would cancel catastrophically
+    in f32 for off-tile means)."""
     tt = st.tile_h * st.tile_w
+    i = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
+    x = (i % st.tile_w).astype(jnp.float32)
+    y = (i // st.tile_w).astype(jnp.float32)
+    one = jnp.ones_like(x)
+    return jnp.concatenate([one, x, y, x * x, y * y, x * y], axis=1)  # (TT, 6)
+
+
+def _chunk_coefs(rec, t, st: RasterStatic):
+    """Quadratic-form coefficients (6, C) so that the alpha exponent becomes
+    one MXU matmul: E' = basis @ coef, raw = exp(E') = exp(e) * opacity.
+
+    e = -0.5 (dx^2 c00 + dy^2 c11 + dx dy (c01 + c10)) with dx = px - mx
+    expands over the basis [1, x, y, x^2, y^2, xy]; opacity folds in as
+    +ln(op) on the constant term.  Returns (coef (6, C), derived rows)."""
     tile_y = t // st.grid_w
     tile_x = t % st.grid_w
-    i = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0)
-    px = (tile_x * st.tile_w + i % st.tile_w).astype(jnp.float32)
-    py = (tile_y * st.tile_h + i // st.tile_w).astype(jnp.float32)
-    return px, py
-
-
-def _chunk_alpha(rec, px, py, valid_row, st: RasterStatic):
-    """Alpha for one chunk: (TT, C) from (12, C) records and (TT, 1) coords.
-
-    tileGlobalAlphaFromGaussian (slang :438-456) with invalid lanes zeroed."""
-    mx = rec[0:1, :]
-    my = rec[1:2, :]
+    mx = rec[0:1, :] - (tile_x * st.tile_w).astype(jnp.float32)  # tile-local
+    my = rec[1:2, :] - (tile_y * st.tile_h).astype(jnp.float32)
     c00 = rec[2:3, :]
     cs = rec[3:4, :] + rec[4:5, :]  # c01 + c10 share the exponent term
     c11 = rec[5:6, :]
     op = rec[10:11, :]
-    dx = px - mx  # (TT, C)
-    dy = py - my
-    e = -0.5 * (dx * dx * c00 + dy * dy * c11 + dx * dy * cs)
-    raw = jnp.exp(e) * op
-    a = jnp.minimum(raw, st.alpha_clamp)
-    a = jnp.where(valid_row, a, 0.0)
-    return a, raw, dx, dy, c00, cs, c11
+    lnop = jnp.log(jnp.maximum(op, 1e-37))
+    coef = jnp.concatenate(
+        [
+            -0.5 * (c00 * mx * mx + c11 * my * my + cs * mx * my) + lnop,
+            c00 * mx + 0.5 * cs * my,
+            c11 * my + 0.5 * cs * mx,
+            -0.5 * c00,
+            -0.5 * c11,
+            -0.5 * cs,
+        ],
+        axis=0,
+    )  # (6, C)
+    return coef, (mx, my, c00, cs, c11, op)
+
+
+def _chunk_alpha_mxu(rec, basis, t, valid_row, st: RasterStatic):
+    """raw/alpha for a chunk via the MXU path.  Returns (a, raw, rows)."""
+    coef, rows = _chunk_coefs(rec, t, st)
+    e_op = _mm(basis, coef, ((1,), (0,)))  # (TT, C) = e + ln(op)
+    raw = jnp.exp(e_op)
+    a = jnp.where(valid_row, jnp.minimum(raw, st.alpha_clamp), 0.0)
+    return a, raw, rows
 
 
 def _rec_copy(rec_hbm, rec_vmem, sem, start, ci, slot, C):
@@ -168,8 +199,14 @@ def _fwd_kernel(start_ref, count_ref, rec_hbm, out_ref, rec_vmem, sem, *, st: Ra
     t = pl.program_id(0)
     start = start_ref[t]  # chunk-aligned column offset
     count = count_ref[t]
-    px, py = _tile_pixel_coords(t, st)
+    basis = _tile_basis(st)  # (TT, 6)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    # Strictly-lower-triangular ones: exclusive prefix sums as one MXU matmul
+    # (the shift-network scan was ~15 VPU passes; the kernel is VMEM-bandwidth
+    # bound, so passes are the currency).
+    li = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    lt_excl = jnp.where(li < lj, 1.0, 0.0)
     eps = st.transmittance_eps
     nchunks = pl.cdiv(count, C)
 
@@ -193,25 +230,24 @@ def _fwd_kernel(start_ref, count_ref, rec_hbm, out_ref, rec_vmem, sem, *, st: Ra
 
         rec = rec_vmem[slot]
         valid = (lane_iota + ci * C) < count  # (1, C)
-        a, _, _, _, _, _, _ = _chunk_alpha(rec, px, py, valid, st)
+        a, _, _ = _chunk_alpha_mxu(rec, basis, t, valid, st)
         om = 1.0 - a  # 1 for invalid lanes
-        tu = t_in * _scan_prod(om, reverse=False, exclusive=True)  # (TT, C)
-        m = tu >= eps  # include mask; linear space = serial semantics exactly
+        # Exclusive prefix product via log + triangular matmul + exp.
+        tu = t_in * jnp.exp(_mm(jnp.log(om), lt_excl, ((1,), (0,))))  # (TT, C)
+        m = tu >= eps  # include mask (matches the serial break exactly)
         mf = jnp.where(m, 1.0, 0.0)
-        w = tu * a * mf  # (TT, C)
+        ta = tu * a
+        w = ta * mf  # (TT, C)
         cd = rec[6:10, :]  # (4, C): RGB + depth
-        acc4 = acc4 + jax.lax.dot_general(
-            cd, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (4, TT)
+        acc4 = acc4 + _mm(cd, w, ((1,), (1,)))  # (4, TT)
         # T after the chunk = running product at the LAST included lane
-        # = min over included lanes of tu*om (the running products decrease);
+        # = min over included lanes of tu-ta (products decrease monotonically);
         # Mosaic has no reduce_prod, but reduce_min works.
         has = jnp.max(mf, axis=1, keepdims=True)
-        t_after = jnp.min(jnp.where(m, tu * om, 1.0), axis=1, keepdims=True)
+        t_after = jnp.min(jnp.where(m, tu - ta, 1.0), axis=1, keepdims=True)
         t_in = jnp.where(has > 0.0, t_after, t_in)
         ncon = ncon + jnp.sum(
-            jnp.where(jnp.logical_and(m, valid), 1.0, 0.0), axis=1, keepdims=True
+            mf * jnp.where(valid, 1.0, 0.0), axis=1, keepdims=True
         )
         alive = jnp.max(t_in) >= eps
         return ci + 1, t_in, acc4, ncon, alive
@@ -248,8 +284,12 @@ def _bwd_kernel(
     t = pl.program_id(0)
     start = start_ref[t]
     count = count_ref[t]
-    px, py = _tile_pixel_coords(t, st)
+    basis = _tile_basis(st)  # (TT, 6)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    # Upper-inclusive-triangular ones: inclusive suffix sums via one matmul.
+    li = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    ut_incl = jnp.where(li >= lj, 1.0, 0.0)
     nchunks = pl.cdiv(count, C)
 
     cot4 = cot_ref[0, :, 0:4]  # (TT, 4) color+depth cotangents
@@ -276,7 +316,8 @@ def _bwd_kernel(
 
         rec = rec_vmem[slot]
         valid = (lane_iota + ci * C) < count
-        a, raw, dx, dy, c00, cs, c11 = _chunk_alpha(rec, px, py, valid, st)
+        a, raw, rows = _chunk_alpha_mxu(rec, basis, t, valid, st)
+        mx, my, c00, cs, c11, op = rows  # (1, C) each; mx/my tile-local
         # Include-mask replayed from the stored per-pixel contributor count —
         # exact forward early-exit replay (slang :766 uses lastContrib).
         m = (lane_iota + ci * C).astype(jnp.float32) < ncon  # (TT, C)
@@ -285,18 +326,16 @@ def _bwd_kernel(
         # Masked suffix product sp_j = T_end / Tu_j is bounded below by
         # T_final >= eps*(1-alpha_clamp): the early exit freezes T once it
         # crosses eps, so the division cannot underflow/overflow.
-        sp = _scan_prod(om_m, reverse=True)  # inclusive suffix
+        sp = jnp.exp(_mm(jnp.log(om_m), ut_incl, ((1,), (0,))))
         tu = t_end / sp
         w = tu * a * mf  # (TT, C)
 
         # u = cotangent contracted with this record's color/depth (MXU).
         cd = rec[6:10, :]  # (4, C)
-        u = jax.lax.dot_general(
-            cot4, cd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (TT, C)
+        u = _mm(cot4, cd, ((1,), (0,)))  # (TT, C)
         wu = w * u
-        acc_g = acc + (_scan_lanes(wu, reverse=True) - wu)  # strictly-later terms
+        suf_wu = _mm(wu, ut_incl, ((1,), (0,)))  # inclusive suffix sums
+        acc_g = acc + (suf_wu - wu)  # strictly-later terms
 
         # (1 - a) >= 1 - alpha_clamp = 0.01; the 1e-6 floor mirrors the
         # reference's undoTileGlobalPixelState guard (slang :506-510).
@@ -304,21 +343,22 @@ def _bwd_kernel(
         dl_da = mf * (u * tu - (acc_g + tfin_term) / one_minus)
         # Alpha clamp at 0.99 has zero gradient above (slang :455).
         draw = jnp.where(raw <= st.alpha_clamp, dl_da, 0.0)
-        de = draw * raw  # d wrt exponent e (through exp; includes opacity)
+        de = draw * raw  # d wrt (e + ln op) through exp
 
-        # Per-record reductions over pixels -> (1, C) gradient rows.
-        d_mx = jnp.sum(de * (dx * c00 + 0.5 * dy * cs), axis=0, keepdims=True)
-        d_my = jnp.sum(de * (dy * c11 + 0.5 * dx * cs), axis=0, keepdims=True)
-        d_c00 = jnp.sum(de * (-0.5 * dx * dx), axis=0, keepdims=True)
-        d_cs = jnp.sum(de * (-0.5 * dx * dy), axis=0, keepdims=True)
-        d_c11 = jnp.sum(de * (-0.5 * dy * dy), axis=0, keepdims=True)
-        op = rec[10:11, :]
-        # raw = exp(e)*op: d op = sum(draw * exp(e)) = sum(de) / op.
-        d_op = jnp.sum(de, axis=0, keepdims=True) / jnp.where(op > 0.0, op, 1.0)
-        d_cd = jax.lax.dot_general(
-            cot4, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (4, C): d colR, d colG, d colB, d depth
+        # All per-record pixel reductions in two MXU contractions.
+        dcoef = _mm(basis, de, ((0,), (0,)))  # (6, C)
+        d_cd = _mm(cot4, w, ((0,), (0,)))  # (4, C): d color RGB, d depth
+
+        # Chain rule coef -> (mean2d, conic, opacity); (1, C) row math.
+        dc0, dc1, dc2 = dcoef[0:1, :], dcoef[1:2, :], dcoef[2:3, :]
+        dc3, dc4, dc5 = dcoef[3:4, :], dcoef[4:5, :], dcoef[5:6, :]
+        d_mx = dc0 * (-0.5 * (2.0 * c00 * mx + cs * my)) + dc1 * c00 + dc2 * (0.5 * cs)
+        d_my = dc0 * (-0.5 * (2.0 * c11 * my + cs * mx)) + dc2 * c11 + dc1 * (0.5 * cs)
+        d_c00 = dc0 * (-0.5 * mx * mx) + dc1 * mx - 0.5 * dc3
+        d_c11 = dc0 * (-0.5 * my * my) + dc2 * my - 0.5 * dc4
+        d_cs = dc0 * (-0.5 * mx * my) + dc1 * (0.5 * my) + dc2 * (0.5 * mx) - 0.5 * dc5
+        # d op through the +ln(op) fold: d ln(op) = dcoef0.
+        d_op = jnp.where(op > 1e-37, dc0 / jnp.maximum(op, 1e-37), 0.0)
 
         # Double-buffered gradient write-back: wait for the write two steps
         # ago before overwriting its slot.
@@ -334,7 +374,7 @@ def _bwd_kernel(
         _grad_copy(grad_ref, grad_vmem, gsem, start, ci, slot, C).start()
 
         t_end = t_end / sp[:, 0:1]  # = T at the start of this chunk
-        acc = acc + jnp.sum(wu, axis=1, keepdims=True)
+        acc = acc + suf_wu[:, 0:1]  # total wu of this chunk
         return t_end, acc
 
     jax.lax.fori_loop(
