@@ -524,20 +524,33 @@ def rasterize_pallas(
     )
 
     # --- chunk-aligned pair layout (gather-only: TPU scatters serialize) ----
+    # Every C-slot chunk has exactly one owning tile, so the owner table is
+    # computed per CHUNK (num_aligned/C entries) and broadcast — per-SLOT
+    # searchsorted/gathers over the [num_aligned] axis lower to while-loops
+    # that cost ~100x more than all the real work (measured).
     nchunks_per_tile = -(-tile_count // C)  # ceil
     aligned_sizes = nchunks_per_tile * C
     aligned_start = (jnp.cumsum(aligned_sizes) - aligned_sizes).astype(jnp.int32)
-    # For each aligned slot j, its owning tile is the last tile whose aligned
-    # range starts at or before j (empty tiles share the next tile's start and
-    # own no slots, so bisect-right lands on the true owner).
-    slot = jnp.arange(num_aligned, dtype=jnp.int32)
-    owner = (
-        jnp.searchsorted(aligned_start, slot, side="right").astype(jnp.int32) - 1
-    )
-    owner = jnp.clip(owner, 0, num_tiles - 1)
-    rank = slot - aligned_start[owner]
-    within = rank < tile_count[owner]
-    src = jnp.where(within, tile_start[owner] + rank, 0)
+    nchunks_total = num_aligned // C
+    chunk_first_slot = jnp.arange(nchunks_total, dtype=jnp.int32) * C
+    # Owning tile: last tile whose aligned range starts at or before the
+    # chunk (empty tiles share the next tile's start and own no chunks).
+    owner_c = jnp.clip(
+        jnp.searchsorted(aligned_start, chunk_first_slot, side="right").astype(
+            jnp.int32
+        )
+        - 1,
+        0,
+        num_tiles - 1,
+    )  # [nchunks_total]
+    astart_c = aligned_start[owner_c]
+    count_c = tile_count[owner_c]
+    tstart_c = tile_start[owner_c]
+    slot = jnp.arange(num_aligned, dtype=jnp.int32).reshape(nchunks_total, C)
+    rank = slot - astart_c[:, None]
+    within = rank < count_c[:, None]
+    src = jnp.where(within, tstart_c[:, None] + rank, 0).reshape(-1)
+    within = within.reshape(-1)
     aligned_idx = jnp.where(within, sorted_gauss_idx[src], 0)
     aligned_valid = within
 
