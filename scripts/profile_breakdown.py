@@ -168,54 +168,6 @@ def main():
     print(f"projection        {timeit(stage_project, means, scales, rots, shs):8.2f} ms", flush=True)
     print(f"binning           {timeit(stage_bin, p):8.2f} ms", flush=True)
     print(f"core inputs       {timeit(stage_core_inputs, packed, b):8.2f} ms", flush=True)
-    # --- severed sub-stages of core-inputs with the REAL arrays ------------
-    Cc = cfg.chunk_size
-    grid_w2 = -(-W // cfg.tile_w); grid_h2 = -(-H // cfg.tile_h)
-    num_tiles2 = grid_w2 * grid_h2
-    NA2 = args.max_pairs + num_tiles2 * Cc
-
-    @jax.jit
-    def sub_layout(tile_start, tile_count, sorted_idx):
-        nchunks = -(-tile_count // Cc)
-        sizes = nchunks * Cc
-        astart = (jnp.cumsum(sizes) - sizes).astype(jnp.int32)
-        slot = jnp.arange(NA2, dtype=jnp.int32)
-        owner = jnp.clip(jnp.searchsorted(astart, slot, side="right").astype(jnp.int32) - 1, 0, num_tiles2 - 1)
-        rank = slot - astart[owner]
-        within = rank < tile_count[owner]
-        src = jnp.where(within, tile_start[owner] + rank, 0)
-        aligned_idx = jnp.where(within, sorted_idx[src], 0)
-        return astart, aligned_idx, within
-
-    print(f"  sub layout      {timeit(sub_layout, b.tile_start, b.tile_count, b.sorted_gauss_idx):8.2f} ms", flush=True)
-    astart2, aligned_idx2, within2 = sub_layout(b.tile_start, b.tile_count, b.sorted_gauss_idx)
-
-    @jax.jit
-    def sub_gather(packed, aligned_idx, within):
-        from gaussiansplattingmlx_tpu.ops.rasterize_pallas import REC_DIM
-        perm = jnp.asarray([0,1,2,3,4,5,6,7,8,10,9], dtype=jnp.int32)
-        rec = packed[:, perm]
-        rec = jnp.concatenate([rec, jnp.zeros((rec.shape[0], REC_DIM-11), rec.dtype)], axis=1)
-        gathered = jnp.where(within[:, None], rec[aligned_idx], 0.0)
-        return gathered.T
-
-    print(f"  sub gather+T    {timeit(sub_gather, packed, aligned_idx2, within2):8.2f} ms", flush=True)
-    # Control: same sub_layout, arrays round-tripped through the host to
-    # force canonical layouts.
-    ts_h = jnp.asarray(np.asarray(b.tile_start))
-    tc_h = jnp.asarray(np.asarray(b.tile_count))
-    si_h = jnp.asarray(np.asarray(b.sorted_gauss_idx))
-    print(f"  sub layout(host){timeit(sub_layout, ts_h, tc_h, si_h):8.2f} ms", flush=True)
-    # Control 2: synthetic values, same process/executable.
-    rng2 = np.random.default_rng(1)
-    tc_s = jnp.asarray(rng2.integers(0, 4000, num_tiles2).astype(np.int32))
-    ts_s = jnp.asarray(
-        np.concatenate([[0], np.cumsum(np.asarray(tc_s))[:-1]]).astype(np.int32))
-    si_s = jnp.asarray(rng2.integers(0, N, args.max_pairs).astype(np.int32))
-    print(f"  sub layout(syn) {timeit(sub_layout, ts_s, tc_s, si_s):8.2f} ms", flush=True)
-    with open("/tmp/hlo_profile.txt", "w") as fh:
-        fh.write(jax.jit(sub_layout).lower(ts_s, tc_s, si_s).compile().as_text())
-    print("  wrote /tmp/hlo_profile.txt", flush=True)
     print(f"core kernel       {timeit(stage_core_jit, records_cm, astart_real, b.tile_count):8.2f} ms", flush=True)
     print(f"raster fwd        {timeit(stage_raster_fwd, packed, b):8.2f} ms", flush=True)
     print(f"raster fwd+bwd    {timeit(stage_raster_both, packed, b):8.2f} ms", flush=True)
