@@ -556,21 +556,18 @@ def rasterize_pallas(
 
     # --- records in kernel layout ------------------------------------------
     # Reference layout [.., opacity, depth] -> kernel layout [.., depth, op].
-    # Built as per-COMPONENT gathers (contiguous writes): a row-major gather
-    # followed by a [P,16] -> [16,P] transpose runs ~20 GB/s on TPU (minor
-    # dim 16), an order of magnitude slower than these 11 linear gathers.
-    perm = (0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 9)
-    # Select-form masking: its VJP selects too, so garbage (NaN/inf) in the
+    # Row gather (16-element slices per index) vectorizes well on TPU;
+    # per-component scalar gathers lower to serial loops (measured ~10x
+    # slower).  Select-form masking: its VJP selects too, so garbage in the
     # unwritten gradient tail cannot reach Gaussian 0 (0 * NaN would).
-    rows = [
-        jnp.where(aligned_valid, packed[:, c][aligned_idx], 0.0) for c in perm
-    ]
-    rows.append(jnp.zeros_like(rows[0]))  # pad rows 11..15 via broadcast
-    records_cm = jnp.concatenate(
-        [jnp.stack(rows, axis=0),
-         jnp.zeros((REC_DIM - 12, aligned_idx.shape[0]), packed.dtype)],
-        axis=0,
-    )  # [16, P_aligned]
+    perm = jnp.asarray([0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 9], dtype=jnp.int32)
+    rec = packed[:, perm]
+    rec = jnp.concatenate(
+        [rec, jnp.zeros((rec.shape[0], REC_DIM - 11), rec.dtype)], axis=1
+    )
+    gathered = rec[aligned_idx]  # [P_aligned, 16]
+    gathered = jnp.where(aligned_valid[:, None], gathered, 0.0)
+    records_cm = gathered.T  # [16, P_aligned]
 
     out = _raster_core(st, records_cm, aligned_start, tile_count)  # [T, 6, TT]
 
