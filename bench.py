@@ -20,7 +20,7 @@ import numpy as np
 
 # First measured value on TPU v5e-1 (round 1).  Later rounds report speedup
 # against this anchor.
-BASELINE_PIXELS_PER_S = 20_000_000.0
+BASELINE_PIXELS_PER_S = 6_723_701.0
 
 
 def main():
@@ -39,10 +39,21 @@ def main():
     cfg = RasterizerConfig(max_pairs=2**20, max_tiles_per_gaussian=32)
 
     rng = np.random.default_rng(0)
-    # Lego-like scene: points in a unit-ish volume, camera orbiting at r=4.
+    # Lego-like scene: points in a unit-ish volume, camera orbiting at r=4,
+    # gaussian sizes matching a converged 3DGS scene (~3px screen sigma ->
+    # 1-4 tiles footprint), opacities spread like a trained model.
     pts = rng.normal(size=(N, 3)).astype(np.float32) * 0.6
     cols = rng.uniform(0.05, 0.95, size=(N, 3)).astype(np.float32)
     params, num = gaussians.create_from_points(pts, cols, sh_degree=SH_DEGREE, capacity=N)
+    import dataclasses
+    import jax.numpy as _jnp
+    params = dataclasses.replace(
+        params,
+        scales=_jnp.asarray(
+            np.log(rng.uniform(0.004, 0.02, size=(N, 3))).astype(np.float32)
+        ),
+        opacity=_jnp.asarray(rng.normal(0.0, 2.0, size=(N, 1)).astype(np.float32)),
+    )
 
     c2w = np.eye(4)
     c2w[2, 3] = -4.0
