@@ -51,7 +51,8 @@ def main():
     W = H = args.size
     rng = np.random.default_rng(0)
 
-    # Ground-truth scene: clustered colored blobs.
+    # Ground-truth scene: a cloud of visible, fittable blobs (sizes well
+    # above a pixel, opacities in a recoverable range).
     n = args.gaussians
     centers = rng.normal(size=(8, 3)) * 0.6
     pts = (
@@ -65,10 +66,10 @@ def main():
     gt_params = dataclasses.replace(
         gt_params,
         scales=jnp.asarray(
-            np.log(rng.uniform(0.02, 0.08, size=(n, 3))).astype(np.float32)
+            np.log(rng.uniform(0.04, 0.12, size=(n, 3))).astype(np.float32)
         ),
         opacity=jnp.asarray(
-            rng.uniform(0.5, 3.0, size=(n, 1)).astype(np.float32)
+            rng.uniform(0.5, 2.0, size=(n, 1)).astype(np.float32)
         ),
     )
 
@@ -119,8 +120,10 @@ def main():
     print(f"rendered {args.views} views in {time.time()-t0:.1f}s "
           f"(mean {images.mean():.3f}, std {images.std():.3f})", flush=True)
 
-    # Train from a perturbed cloud.
-    noisy = pts + rng.normal(size=pts.shape).astype(np.float32) * 0.03
+    # Train from a perturbed cloud (noise well under the blob scale so the
+    # problem is fittable; see /tmp investigations round 1: sub-pixel init
+    # scales + large displacement made the previous scene untrainable).
+    noisy = pts + rng.normal(size=pts.shape).astype(np.float32) * 0.01
     pcd = PointCloud(coords=noisy, colors=cols * 255.0)
     densify_cfg = (
         DensifyConfig(interval=100, from_iter=300, until_iter=args.iters)
