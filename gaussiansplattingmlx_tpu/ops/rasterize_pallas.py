@@ -9,9 +9,13 @@ GPU design, chosen for the TPU memory/compute model:
     composites all tile pixels at once on the VPU/MXU, instead of 1 thread
     per pixel marching serially.
   * The serial front-to-back recurrence is evaluated with a vector identity
-    (see ops/rasterize_ref.py): transmittance is a log-space prefix-scan over
-    the chunk axis, the include-mask falls out of the unmasked scan, and
-    color/depth accumulation becomes one MXU contraction per chunk.
+    (see ops/rasterize_ref.py): transmittance is an exclusive prefix product
+    over the chunk axis (computed as log + triangular-ones MXU matmul + exp),
+    the include-mask falls out of the unmasked scan, and color/depth
+    accumulation is one MXU contraction per chunk.  The alpha exponent is
+    itself a basis(TT,6) @ coef(6,C) matmul in tile-local coordinates — the
+    kernel is VMEM-bandwidth bound, so elementwise passes are the scarce
+    resource and the MXU does everything quadratic.
   * Backward: the reference's reverse march + WaveActiveSum + InterlockedAdd
     float atomics (slang :728-877) is replaced by reverse suffix-scans plus
     per-pair gradient rows written to DISJOINT column slices of a [12, P]
