@@ -34,6 +34,10 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    from gaussiansplattingmlx_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     import jax
     import jax.numpy as jnp
     from PIL import Image

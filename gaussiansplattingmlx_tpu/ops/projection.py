@@ -89,10 +89,18 @@ def project_gaussians(
     p_hom = transforms.homogeneous(means3d)  # [N, 4]
     p_view = p_hom @ view  # [N, 4]
     p_clip = p_view @ proj  # [N, 4]
-    w_inv = 1.0 / (p_clip[:, 3] + ndc_w_eps)
-    ndc = p_clip * w_inv[:, None]
     depths = p_view[:, 2]
     visible = depths >= z_cull
+    # Culled gaussians never render (radii forced to 0 below), but their
+    # inf/NaN intermediates would still poison THEIR OWN parameter gradients
+    # through 0-cotangent * inf = NaN in the VJP.  Substituting a safe
+    # denominator for culled rows changes nothing visible and keeps autodiff
+    # finite everywhere.  (Latent hazard in the reference too: it divides by
+    # w and t_z unconditionally, gaussian_projection_screen_shared.slang:102,
+    # 208-211.)
+    w_den = jnp.where(visible, p_clip[:, 3] + ndc_w_eps, 1.0)
+    w_inv = 1.0 / w_den
+    ndc = p_clip * w_inv[:, None]
 
     # NDC -> pixel: ((ndc + 1) * size - 1) / 2 (shared.slang:110-115)
     mean_x = ((ndc[:, 0] + 1.0) * w - 1.0) * 0.5
@@ -107,7 +115,10 @@ def project_gaussians(
     # t = m @ a + view[3, :3] is the camera-space position.
     a = view[:3, :3]
     t = means3d @ a + view[3, :3]  # [N, 3]
-    t0, t1, t2 = t[:, 0], t[:, 1], t[:, 2]
+    t0, t1 = t[:, 0], t[:, 1]
+    # Same culled-row sanitization as above: t_z -> 1 keeps the EWA Jacobian
+    # finite for gaussians that never render.
+    t2 = jnp.where(visible, t[:, 2], 1.0)
 
     tan_fov_x = jnp.tan(fov_x * 0.5)
     tan_fov_y = jnp.tan(fov_y * 0.5)
@@ -139,6 +150,9 @@ def project_gaussians(
     cov2d = jnp.stack([c00, c01, c10, c11], axis=-1)
 
     det = c00 * c11 - c01 * c10
+    # Visible gaussians have det >= dilation^2 > 0 (cov2d is PSD + 0.3 I);
+    # the guard only protects culled rows' gradients from 0 * inf = NaN.
+    det = jnp.where(jnp.logical_and(visible, det > 1e-12), det, 1.0)
     conic = jnp.stack([c11 / det, -c01 / det, -c10 / det, c00 / det], axis=-1)
 
     # --- SH color -----------------------------------------------------------

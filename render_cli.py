@@ -51,6 +51,10 @@ def orbit_c2w(angle: float, radius: float, elevation: float) -> np.ndarray:
 def main(argv=None):
     args = parse_args(argv)
 
+    from gaussiansplattingmlx_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     import jax
     import jax.numpy as jnp
     from PIL import Image

@@ -218,3 +218,53 @@ def test_numpy_cross_check_full_pipeline(rng):
     np.testing.assert_allclose(
         got, [cov2d[0, 0], cov2d[0, 1], cov2d[1, 0], cov2d[1, 1]], rtol=1e-3, atol=1e-4
     )
+
+
+def test_degenerate_gaussians_have_finite_gradients(rng):
+    """Gaussians at or behind the camera plane are culled AND must not poison
+    their own parameter gradients with 0 * inf = NaN (this killed training on
+    depth-backprojected clouds containing near-camera points)."""
+    c = make_camera()
+    cam_pos = np.asarray(c.camera_center)
+    means = np.array(
+        [
+            cam_pos,                       # exactly at the camera center
+            cam_pos + [0.0, 0.0, 1e-8],    # epsilon in front
+            cam_pos + [0.0, 0.0, -2.0],    # behind
+            [0.0, 0.0, 4.0],               # normal visible gaussian
+        ],
+        np.float32,
+    )
+    scales = np.full((4, 3), 0.1, np.float32)
+    quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (4, 1))
+    shs = rng.normal(size=(4, 1, 3)).astype(np.float32)
+    t = c.tensors()
+
+    def f(means, scales, quats, shs):
+        out = projection.project_gaussians(
+            means, scales, quats, shs,
+            jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+            jnp.asarray(t["camera_center"]),
+            t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
+            c.width, c.height, 0,
+        )
+        # Weight differentiable outputs by visibility, as rendering does.
+        w = (out.radii > 0).astype(jnp.float32)
+        return jnp.sum(
+            (jnp.sum(out.means2d, 1) + jnp.sum(out.conic, 1) + jnp.sum(out.colors, 1))
+            * w
+        )
+
+    out = projection.project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats), jnp.asarray(shs),
+        jnp.asarray(t["view"]), jnp.asarray(t["proj"]), jnp.asarray(t["camera_center"]),
+        t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"], c.width, c.height, 0,
+    )
+    np.testing.assert_array_equal(np.asarray(out.radii[:3]), 0.0)
+    assert float(out.radii[3]) > 0
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats), jnp.asarray(shs)
+    )
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all(), g

@@ -46,6 +46,10 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    from gaussiansplattingmlx_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     from gaussiansplattingmlx_tpu.config import (
         LossConfig, ModelConfig, TrainConfig,
     )
