@@ -26,6 +26,8 @@ def parse_args(argv=None):
     p.add_argument("--resize-factor", type=float, default=0.5)
     p.add_argument("--white-background", action="store_true")
     p.add_argument("--backend", default=None)
+    p.add_argument("--max-pairs", type=int, default=None)
+    p.add_argument("--tile", type=int, default=None)
     p.add_argument("--save-renders", default=None)
     p.add_argument("--no-center", action="store_true")
     return p.parse_args(argv)
@@ -75,7 +77,13 @@ def main(argv=None):
         opacity=jnp.asarray(g.opacity),
     )
     means, shs, opacity, scales, rots = activations(params)
+    import dataclasses as _dc
+
     cfg = RasterizerConfig()
+    if args.max_pairs:
+        cfg = _dc.replace(cfg, max_pairs=args.max_pairs)
+    if args.tile:
+        cfg = _dc.replace(cfg, tile_h=args.tile, tile_w=args.tile)
 
     @jax.jit
     def render_view(view, proj, center, fx, fy, fovx, fovy):

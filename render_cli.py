@@ -30,6 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--elevation", type=float, default=0.2)
     p.add_argument("--white-background", action="store_true")
     p.add_argument("--backend", default=None)
+    p.add_argument("--max-pairs", type=int, default=None)
+    p.add_argument("--tile", type=int, default=None)
     p.add_argument("--depth", action="store_true", help="also save depth maps")
     return p.parse_args(argv)
 
@@ -80,7 +82,13 @@ def main(argv=None):
     means, shs, opacity, scales, rots = activations(params)
 
     focal = args.focal if args.focal else 1.2 * args.width
+    import dataclasses as _dc
+
     cfg = RasterizerConfig()
+    if args.max_pairs:
+        cfg = _dc.replace(cfg, max_pairs=args.max_pairs)
+    if args.tile:
+        cfg = _dc.replace(cfg, tile_h=args.tile, tile_w=args.tile)
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 

@@ -80,7 +80,7 @@ def test_render_cli(trained, tmp_path):
     r = run_cli(
         "render_cli.py", "--ply", str(ply), "--out", str(tmp_path),
         "--width", "32", "--height", "32", "--orbit", "2", "--depth",
-        "--backend", "reference",
+        "--backend", "reference", "--max-pairs", "4096",
     )
     assert r.returncode == 0, r.stderr[-3000:]
     imgs = sorted(tmp_path.glob("render_*.png"))
@@ -96,7 +96,7 @@ def test_eval_cli(trained):
     r = run_cli(
         "eval.py", "--dataset", "blender", "--root", str(scene),
         "--ply", str(ply), "--resize-factor", "1.0",
-        "--backend", "reference",
+        "--backend", "reference", "--max-pairs", "4096",
     )
     assert r.returncode == 0, r.stderr[-3000:]
     last = r.stdout.strip().splitlines()[-1]
