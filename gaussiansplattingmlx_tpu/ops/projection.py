@@ -87,8 +87,11 @@ def project_gaussians(
 
     # --- NDC projection (row-vector convention) -----------------------------
     p_hom = transforms.homogeneous(means3d)  # [N, 4]
-    p_view = p_hom @ view  # [N, 4]
-    p_clip = p_view @ proj  # [N, 4]
+    # Full-f32 matmuls: default TPU precision runs bf16 passes, which costs
+    # ~3 decimal digits on world/clip positions.
+    hp = jax.lax.Precision.HIGHEST
+    p_view = jnp.matmul(p_hom, view, precision=hp)  # [N, 4]
+    p_clip = jnp.matmul(p_view, proj, precision=hp)  # [N, 4]
     depths = p_view[:, 2]
     visible = depths >= z_cull
     # Culled gaussians never render (radii forced to 0 below), but their
@@ -114,7 +117,7 @@ def project_gaussians(
     # `view` is w2c^T: rows 0..2 of its 3x3 block are a_ij in the kernel;
     # t = m @ a + view[3, :3] is the camera-space position.
     a = view[:3, :3]
-    t = means3d @ a + view[3, :3]  # [N, 3]
+    t = jnp.matmul(means3d, a, precision=hp) + view[3, :3]  # [N, 3]
     t0, t1 = t[:, 0], t[:, 1]
     # Same culled-row sanitization as above: t_z -> 1 keeps the EWA Jacobian
     # finite for gaussians that never render.
@@ -141,8 +144,8 @@ def project_gaussians(
     b1 = j11[:, None] * W[1][None, :] + j12[:, None] * W[2][None, :]
 
     # cov2d = B cov3d B^T + dilation * I
-    c3b0 = jnp.einsum("nij,nj->ni", cov3d, b0)
-    c3b1 = jnp.einsum("nij,nj->ni", cov3d, b1)
+    c3b0 = jnp.einsum("nij,nj->ni", cov3d, b0, precision=hp)
+    c3b1 = jnp.einsum("nij,nj->ni", cov3d, b1, precision=hp)
     c00 = jnp.sum(b0 * c3b0, axis=-1) + cov2d_dilation
     c01 = jnp.sum(b0 * c3b1, axis=-1)
     c10 = jnp.sum(b1 * c3b0, axis=-1)

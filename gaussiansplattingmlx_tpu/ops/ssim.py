@@ -36,11 +36,16 @@ def _depthwise_conv(img, window_size: int, sigma: float):
     kw = jnp.asarray(g).reshape(1, window_size, 1, 1)
     kw = jnp.broadcast_to(kw, (1, window_size, 1, c))
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+    # Full-f32 convs: TPU's default bf16 conv passes make the variance
+    # estimates noisy relative to C2=9e-4, which can push SSIM well above 1
+    # (observed ~1.15 -> negative training loss).
     x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn, feature_group_count=c
+        x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
     x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn, feature_group_count=c
+        x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
     return x[0]
 
