@@ -33,8 +33,10 @@ class RasterizerConfig:
     # Max tiles a single Gaussian may be binned into (static per-Gaussian
     # expansion).  Gaussians touching more tiles keep the first
     # `max_tiles_per_gaussian` tiles in row-major order; an overflow counter
-    # is reported so capacity can be raised.
-    max_tiles_per_gaussian: int = 64
+    # is reported so capacity can be raised.  The [N, R] candidate expansion
+    # is sorted every step, so R trades footprint coverage against sort cost
+    # at high N (32 covers a ~90 px radius at 16 px tiles).
+    max_tiles_per_gaussian: int = 32
     # Global (gaussian, tile) pair budget for the depth sort.
     max_pairs: int = 2 ** 20  # 1M pairs
     # Gaussian records processed per inner chunk of the Pallas kernel.
