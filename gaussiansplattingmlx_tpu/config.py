@@ -39,6 +39,15 @@ class RasterizerConfig:
     max_tiles_per_gaussian: int = 32
     # Global (gaussian, tile) pair budget for the depth sort.
     max_pairs: int = 2 ** 20  # 1M pairs
+    # Overflow is a handled condition, not just a counter: when the Trainer
+    # observes overflow_pairs / overflow_gaussians > 0 it warns loudly and
+    # doubles the relevant capacity (one recompile), up to these limits.  The
+    # reference never truncates — its pair list is exact at dynamic cost
+    # (GaussianRenderer.swift:398-409); static shapes + auto-growth is the
+    # jit-compatible equivalent.
+    auto_grow: bool = True
+    max_pairs_limit: int = 2 ** 22
+    max_tiles_limit: int = 64  # R doubles cost the [N, R] sort; cap growth
     # Gaussian records processed per inner chunk of the Pallas kernel.
     chunk_size: int = 128
     # Compositing constants (tile_global_kernels.slang:453-455,599).

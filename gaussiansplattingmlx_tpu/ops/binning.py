@@ -69,9 +69,7 @@ def bin_gaussians(
     tile_h: int,
     max_tiles_per_gaussian: int,
     max_pairs: int,
-    expand_chunk: int = 0,  # retained for API compatibility; unused
 ) -> TileBinning:
-    del expand_chunk
     n = rect_min.shape[0]
     grid_w = -(-image_width // tile_w)
     grid_h = -(-image_height // tile_h)

@@ -72,6 +72,7 @@ class RasterStatic(NamedTuple):
     num_aligned: int  # total columns of the aligned record buffer
     alpha_clamp: float
     transmittance_eps: float
+    undo_denom_floor: float
     interpret: bool
 
 
@@ -341,9 +342,9 @@ def _bwd_kernel(
         suf_wu = _mm(wu, ut_incl, ((1,), (0,)))  # inclusive suffix sums
         acc_g = acc + (suf_wu - wu)  # strictly-later terms
 
-        # (1 - a) >= 1 - alpha_clamp = 0.01; the 1e-6 floor mirrors the
+        # (1 - a) >= 1 - alpha_clamp = 0.01; the floor mirrors the
         # reference's undoTileGlobalPixelState guard (slang :506-510).
-        one_minus = jnp.maximum(1.0 - a, 1e-6)
+        one_minus = jnp.maximum(1.0 - a, st.undo_denom_floor)
         dl_da = mf * (u * tu - (acc_g + tfin_term) / one_minus)
         # Alpha clamp at 0.99 has zero gradient above (slang :455).
         draw = jnp.where(raw <= st.alpha_clamp, dl_da, 0.0)
@@ -495,6 +496,7 @@ def rasterize_pallas(
     chunk_size: int = 128,
     alpha_clamp: float = 0.99,
     transmittance_eps: float = 1e-4,
+    undo_denom_floor: float = 1e-6,
     interpret: bool = False,
 ) -> RenderOutputs:
     """Full rasterize: packed [N, 11] (reference layout) -> image outputs.
@@ -524,6 +526,7 @@ def rasterize_pallas(
         num_aligned=num_aligned,
         alpha_clamp=alpha_clamp,
         transmittance_eps=transmittance_eps,
+        undo_denom_floor=undo_denom_floor,
         interpret=interpret,
     )
 

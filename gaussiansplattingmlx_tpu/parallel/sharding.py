@@ -9,9 +9,21 @@ collectives of any kind) — this layer is new TPU-first design:
     camera sampling this is exact gradient accumulation over a batch of views
     (the single-view reference is the batch=1 special case).
   * mesh axis "tile": for very large renders, ONE camera's pixel-tile grid is
-    split into horizontal bands, one band per device; per-Gaussian gradient
-    partials from each band are `psum`'d.  Structurally the same pattern as
-    sequence-sharded attention with KV all-gather (SURVEY §5).
+    split into horizontal bands, one band per device.  Each device rasterizes
+    only its band; the bands are then `all_gather`'d over ICI and the loss is
+    computed on the FULL image on every tile device, so SSIM windows crossing
+    band seams see real neighbour rows, not conv zero-padding — the sharded
+    loss and gradients match the single-device step exactly (see
+    tests/test_sharding.py).  The all_gather transpose (psum_scatter) returns
+    each band's cotangent scaled by n_tile; the `pmean` over "tile" therefore
+    reconstructs the exact full-image parameter gradient.  Structurally the
+    same pattern as sequence-sharded attention with KV all-gather (SURVEY §5).
+
+Densification statistics under DP follow the reference semantics
+(GaussianTrainer.swift:321-339,996-998): the accumulated quantity is the
+PER-VIEW gradient norm — mean over the view batch of ||∂L_view/∂xyz|| — not
+the norm of the averaged gradient (norm-of-mean < mean-of-norms would
+under-densify at the reference's grad_threshold).
 
 Built on `shard_map` so the Pallas rasterizer runs rank-identical per shard
 (no vmap over pallas_call), with XLA collectives over ICI.
@@ -19,7 +31,6 @@ Built on `shard_map` so the Pallas rasterizer runs rank-identical per shard
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Optional
 
 import jax
@@ -61,23 +72,30 @@ def make_dp_train_step(
     mesh: Mesh,
     backend: Optional[str] = None,
 ) -> Callable:
-    """Data-parallel train step: view batch sharded over "data", params
-    replicated, grads pmean'd.  Each device computes one camera's full
-    forward/backward; the Adam update is replicated (identical on all
-    devices after the collective)."""
+    """Data-parallel train step over (state, views, view_idx).
+
+    `views` is the full stacked view dict (replicated — every device holds all
+    camera tensors and targets); `view_idx` is an int32 [data_parallel] array
+    sharded over "data" selecting each device's camera for this step.  Params
+    are replicated, per-view gradients pmean'd over ICI, and the Adam update
+    is replicated (identical on all devices after the collective).
+
+    Returns (new_state, metrics, images) where images is the [data_parallel,
+    H, W, 3] batch of rendered full views (for previews).
+    """
 
     tile_devices = mesh.shape["tile"]
     assert image_height % tile_devices == 0, (
         "tile-parallel requires image_height divisible by the tile axis"
     )
     band_h = image_height // tile_devices
-    # NOTE: when band_h is a multiple of tile_h the band tiling coincides with
-    # the full-image tiling and band rendering is bit-for-bit the full render;
-    # otherwise the conservative rect culling differs slightly at band seams.
+    assert band_h % cfg.raster.tile_h == 0, (
+        "tile-parallel requires the band height to be a multiple of tile_h so "
+        "the band tiling coincides with the full-image tiling (exactness)"
+    )
 
-    def per_device(state: TrainState, view_batch: Dict):
-        # Leading batch dim is sharded to length 1 on this device.
-        take = lambda k: view_batch[k][0]
+    def per_device(state: TrainState, views: Dict, view_idx):
+        take = lambda k: views[k][view_idx[0]]
         active = gaussians.active_mask(state.params, state.num_active)
         band = jax.lax.axis_index("tile") * band_h
 
@@ -95,37 +113,48 @@ def make_dp_train_step(
                 white_background=cfg.white_background,
                 backend=backend,
                 pixel_y_offset=band,
+                full_image_height=image_height,
             )
-            target = jax.lax.dynamic_slice_in_dim(
-                take("target_rgb"), band, band_h, axis=0
-            )
-            target_depth = jax.lax.dynamic_slice_in_dim(
-                take("target_depth"), band, band_h, axis=0
-            )
-            depth_mask = jax.lax.dynamic_slice_in_dim(
-                take("depth_mask"), band, band_h, axis=0
-            )
+            # Reassemble the full image across the tile axis and compute the
+            # loss on it (identically on every tile device): exact
+            # single-device loss semantics including SSIM at band seams.
+            color_full = jax.lax.all_gather(out.color, "tile", axis=0, tiled=True)
+            depth_full = jax.lax.all_gather(out.depth, "tile", axis=0, tiled=True)
             loss, parts = losses_mod.total_loss(
-                out.color, target, out.depth, target_depth, depth_mask,
+                color_full, take("target_rgb"), depth_full,
+                take("target_depth"), take("depth_mask"),
                 lambda_dssim=cfg.loss.lambda_dssim,
                 lambda_depth=cfg.loss.lambda_depth,
                 ssim_window=cfg.loss.ssim_window,
                 ssim_sigma=cfg.loss.ssim_sigma,
             )
-            return loss, parts
+            psnr = losses_mod.psnr(color_full, take("target_rgb"))
+            aux_out = {
+                "psnr": psnr, "num_pairs": aux.num_pairs,
+                "overflow_pairs": aux.overflow_pairs,
+                "overflow_gaussians": aux.overflow_gaussians,
+                "image": color_full,
+            }
+            return loss, (parts, aux_out)
 
-        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params.as_tuple()
-        )
+        (loss, (parts, aux_out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params.as_tuple())
         grads = GaussianParams.from_tuple(grads)
-        # Average over cameras (data) and sum over pixel bands (tile): band
-        # losses are per-band means, so pmean over tile approximates the
-        # full-image mean; gradients likewise.
-        grads = jax.lax.pmean(jax.lax.pmean(grads, "tile"), "data")
-        loss = jax.lax.pmean(jax.lax.pmean(loss, "tile"), "data")
-        parts = jax.lax.pmean(jax.lax.pmean(parts, "tile"), "data")
+        # The all_gather transpose hands each device its band cotangent summed
+        # over the tile group (= n_tile * the true band cotangent, since every
+        # device computed the identical loss); averaging over "tile" therefore
+        # yields exactly the full-image per-view gradient.
+        grads_view = jax.lax.pmean(grads, "tile")
+        # Reference densify statistic: per-view ||grad_xyz|| accumulated, then
+        # averaged over the view batch (mean of norms, not norm of mean).
+        grad_norm = jax.lax.pmean(
+            jnp.sqrt(jnp.sum(grads_view.xyz * grads_view.xyz, axis=1)), "data"
+        )
+        grads = jax.lax.pmean(grads_view, "data")
+        loss = jax.lax.pmean(loss, "data")
+        parts = jax.lax.pmean(parts, "data")
 
-        grad_norm = jnp.sqrt(jnp.sum(grads.xyz * grads.xyz, axis=1))
         lrs = gaussians.learning_rates(
             state.step, total_iterations,
             lr_xyz=cfg.optim.lr_xyz,
@@ -152,25 +181,42 @@ def make_dp_train_step(
             grad_denom=state.grad_denom + 1.0,
             step=state.step + 1,
         )
-        metrics = {"loss": loss, **parts}
-        return new_state, metrics
+        metrics = {
+            "loss": loss, **parts,
+            "psnr": jax.lax.pmean(aux_out["psnr"], "data"),
+            "num_pairs": jax.lax.pmean(aux_out["num_pairs"], "data"),
+            "overflow_pairs": jax.lax.psum(
+                jax.lax.psum(aux_out["overflow_pairs"], "data"), "tile"
+            ),
+            "overflow_gaussians": jax.lax.psum(
+                jax.lax.psum(aux_out["overflow_gaussians"], "data"), "tile"
+            ),
+        }
+        # [1, H, W, 3] per data shard -> [data_parallel, H, W, 3] global.
+        images = aux_out["image"][None]
+        return new_state, metrics, images
 
-    view_specs = P("data")
     shard_fn = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(), view_specs),
-        out_specs=(P(), P()),
+        in_specs=(P(), P(), P("data")),
+        out_specs=(P(), P(), P("data")),
         check_vma=False,
     )
     return jax.jit(shard_fn, donate_argnums=(0,))
 
 
-def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+def replicate_state(state, mesh: Mesh):
     sharding = jax.sharding.NamedSharding(mesh, P())
     return jax.device_put(state, sharding)
 
 
-def shard_view_batch(batch: Dict, mesh: Mesh) -> Dict:
+def replicate_views(views: Dict, mesh: Mesh) -> Dict:
+    sharding = jax.sharding.NamedSharding(mesh, P())
+    return {k: jax.device_put(v, sharding) for k, v in views.items()}
+
+
+def shard_view_idx(view_idx, mesh: Mesh):
+    """int32 [data_parallel] view selector, sharded over the data axis."""
     sharding = jax.sharding.NamedSharding(mesh, P("data"))
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return jax.device_put(jnp.asarray(view_idx, jnp.int32), sharding)

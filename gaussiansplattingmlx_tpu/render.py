@@ -151,6 +151,7 @@ def render(
             chunk_size=cfg.chunk_size,
             alpha_clamp=cfg.alpha_clamp,
             transmittance_eps=cfg.transmittance_eps,
+            undo_denom_floor=cfg.undo_denom_floor,
             interpret=backend == "pallas_interpret",
         )
     else:

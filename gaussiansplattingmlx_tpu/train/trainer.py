@@ -226,10 +226,16 @@ class Trainer:
         data: TrainData,
         point_cloud: PointCloud,
         backend: Optional[str] = None,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with ("data", "tile") axes — when
+        given, training runs the data+tile-sharded step (parallel/sharding.py)
+        with params replicated and `mesh.shape["data"]` camera views consumed
+        per iteration.  The reference has no counterpart (SURVEY §2.4)."""
         self.cfg = config
         self.data = data
         self.backend = backend
+        self.mesh = mesh
         self.rng = np.random.default_rng(config.seed)
         self.key = jax.random.PRNGKey(config.seed)
 
@@ -252,13 +258,77 @@ class Trainer:
             step=jnp.int32(0),
         )
         self.views = stack_views(data)
-        self.train_step = make_train_step(
-            config, data.width, data.height,
-            config.model.sh_degree, config.iterations, backend,
-        )
+        if mesh is not None:
+            # Late import: parallel.sharding imports TrainState from here.
+            from ..parallel import sharding as _sharding
+
+            self._sharding = _sharding
+            self.data_parallel = mesh.shape["data"]
+            self.state = _sharding.replicate_state(self.state, mesh)
+            self.views = _sharding.replicate_views(self.views, mesh)
+        self._build_train_step()
         self.densify_step = make_densify_step(config)
         self.history: list = []
         self.out_dir = Path(config.output_dir)
+
+    def _build_train_step(self):
+        cfg, data = self.cfg, self.data
+        if self.mesh is not None:
+            self.train_step = self._sharding.make_dp_train_step(
+                cfg, data.width, data.height,
+                cfg.model.sh_degree, cfg.iterations, self.mesh, self.backend,
+            )
+        else:
+            self.train_step = make_train_step(
+                cfg, data.width, data.height,
+                cfg.model.sh_degree, cfg.iterations, self.backend,
+            )
+
+    def _maybe_grow_raster(self, metrics: Dict) -> None:
+        """Overflow is a handled condition: warn + double the truncating
+        capacity (recompile at the new static shape), up to config limits."""
+        import sys
+
+        r = self.cfg.raster
+        if not r.auto_grow:
+            return
+        new = r
+        if metrics.get("overflow_pairs", 0) > 0 and r.max_pairs < r.max_pairs_limit:
+            new = dataclasses.replace(
+                new, max_pairs=min(r.max_pairs * 2, r.max_pairs_limit)
+            )
+        if (
+            metrics.get("overflow_gaussians", 0) > 0
+            and r.max_tiles_per_gaussian < r.max_tiles_limit
+        ):
+            new = dataclasses.replace(
+                new,
+                max_tiles_per_gaussian=min(
+                    r.max_tiles_per_gaussian * 2, r.max_tiles_limit
+                ),
+            )
+        if new is not r:
+            print(
+                f"WARNING: binning overflow at step {int(self.state.step)} "
+                f"(pairs dropped {int(metrics.get('overflow_pairs', 0))}, "
+                f"gaussians truncated {int(metrics.get('overflow_gaussians', 0))}); "
+                f"growing max_pairs {r.max_pairs}->{new.max_pairs}, "
+                f"R {r.max_tiles_per_gaussian}->{new.max_tiles_per_gaussian} "
+                f"(recompile)",
+                file=sys.stderr, flush=True,
+            )
+            self.cfg = dataclasses.replace(self.cfg, raster=new)
+            self._build_train_step()
+        elif metrics.get("overflow_pairs", 0) > 0 or metrics.get(
+            "overflow_gaussians", 0
+        ) > 0:
+            print(
+                f"WARNING: binning overflow at step {int(self.state.step)} "
+                f"but capacity limits reached "
+                f"(max_pairs={r.max_pairs}, R={r.max_tiles_per_gaussian}); "
+                f"output is truncated — raise raster limits",
+                file=sys.stderr, flush=True,
+            )
 
     def next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -272,15 +342,32 @@ class Trainer:
         cfg = self.cfg
         iterations = iterations if iterations is not None else cfg.iterations
         last_log = time.time()
-        last_step = 0
+        start = int(self.state.step)  # nonzero when resumed from a checkpoint
+        last_step = start
         final = {}
-        for it in range(1, iterations + 1):
-            view_idx = int(self.rng.integers(0, self.data.num_views))
-            self.state, metrics, image = self.train_step(
-                self.state, self.views, jnp.int32(view_idx)
-            )
+        for it in range(start + 1, iterations + 1):
+            if self.mesh is not None:
+                idxs = self.rng.integers(
+                    0, self.data.num_views, size=self.data_parallel
+                )
+                view_idx = int(idxs[0])
+                self.state, metrics, images = self.train_step(
+                    self.state, self.views,
+                    self._sharding.shard_view_idx(idxs, self.mesh),
+                )
+                # Indexing the sharded [data, H, W, 3] output directly would
+                # dispatch an eager gather over the mesh; fetch to host only
+                # when a preview is actually written.
+                image = None
+            else:
+                view_idx = int(self.rng.integers(0, self.data.num_views))
+                self.state, metrics, image = self.train_step(
+                    self.state, self.views, jnp.int32(view_idx)
+                )
 
             if it % cfg.preview_interval == 0 and cfg.output_dir:
+                if image is None:
+                    image = jax.device_get(images)[0]
                 self.save_preview(it, image, view_idx)
             if it % cfg.snapshot_interval == 0 and cfg.output_dir:
                 self.save_snapshot(it)
@@ -290,10 +377,15 @@ class Trainer:
                 and cfg.densify.from_iter <= it <= cfg.densify.until_iter
             ):
                 self.state, stats = self.densify_step(self.state, self.next_key())
+                if self.mesh is not None:
+                    # Keep the state replicated across the mesh after the
+                    # (unsharded) densify gather/scatter.
+                    self.state = self._sharding.replicate_state(self.state, self.mesh)
                 self.maybe_grow()
 
             if it % cfg.log_interval == 0 or it == iterations:
                 m = {k: float(v) for k, v in metrics.items()}
+                self._maybe_grow_raster(m)
                 now = time.time()
                 m["iters_per_s"] = (it - last_step) / max(now - last_log, 1e-9)
                 m["num_active"] = int(self.state.num_active)
@@ -315,6 +407,8 @@ class Trainer:
         if n > 0.85 * cap and cap < self.cfg.model.max_gaussians:
             new_cap = min(cap * 2, _next_pow2(self.cfg.model.max_gaussians))
             self.state = grow_capacity(self.state, new_cap)
+            if self.mesh is not None:
+                self.state = self._sharding.replicate_state(self.state, self.mesh)
 
     def save_preview(self, iteration: int, image, view_idx: int):
         """Rendered/GT preview pair (TrainStatusView counterpart)."""
@@ -363,12 +457,44 @@ class Trainer:
     def save_checkpoint(self, iteration: int):
         from . import checkpoint
 
-        checkpoint.save(self.out_dir / f"ckpt_{iteration}.npz", self.state, self.cfg)
+        checkpoint.save(
+            self.out_dir / f"ckpt_{iteration}.npz", self.state, self.cfg,
+            host_rng=self.rng, jax_key=self.key,
+        )
 
     def restore_checkpoint(self, path):
         from . import checkpoint
 
-        self.state = checkpoint.load(path)
+        self.state, host_rng, jax_key = checkpoint.load(path)
+        if host_rng is not None:
+            self.rng = host_rng
+        if jax_key is not None:
+            self.key = jax_key
+        # Auto-grown raster capacities (max_pairs / R) are runtime state: the
+        # checkpoint's config records them at save time.  Adopt any that are
+        # larger than the current config so a resumed run does not re-truncate
+        # (and re-grow) its way through the same overflows — without this,
+        # resume is not equivalent to the uninterrupted run.
+        ckpt_cfg = checkpoint.load_config(path)
+        if ckpt_cfg is not None:
+            r, cr = self.cfg.raster, ckpt_cfg.raster
+            if (
+                cr.max_pairs > r.max_pairs
+                or cr.max_tiles_per_gaussian > r.max_tiles_per_gaussian
+            ):
+                self.cfg = dataclasses.replace(
+                    self.cfg,
+                    raster=dataclasses.replace(
+                        r,
+                        max_pairs=max(r.max_pairs, cr.max_pairs),
+                        max_tiles_per_gaussian=max(
+                            r.max_tiles_per_gaussian, cr.max_tiles_per_gaussian
+                        ),
+                    ),
+                )
+                self._build_train_step()
+        if self.mesh is not None:
+            self.state = self._sharding.replicate_state(self.state, self.mesh)
 
 
 def _next_pow2(n: int) -> int:

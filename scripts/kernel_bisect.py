@@ -25,7 +25,7 @@ P = NUM_TILES * NCHUNKS * C
 
 st = RP.RasterStatic(
     chunk=C, tile_h=16, tile_w=16, grid_h=25, grid_w=25,
-    num_aligned=P, alpha_clamp=0.99, transmittance_eps=1e-4, interpret=False,
+    num_aligned=P, alpha_clamp=0.99, transmittance_eps=1e-4, undo_denom_floor=1e-6, interpret=False,
 )
 
 

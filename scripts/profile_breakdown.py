@@ -121,7 +121,7 @@ def main():
         st2 = RasterStatic(chunk=cfg.chunk_size, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             grid_h=grid_h, grid_w=grid_w,
             num_aligned=records_cm.shape[1], alpha_clamp=0.99,
-            transmittance_eps=1e-4, interpret=False)
+            transmittance_eps=1e-4, undo_denom_floor=1e-6, interpret=False)
         return _raster_core(st2, records_cm, astart, counts)
 
     stage_core_jit = jax.jit(stage_core)

@@ -108,22 +108,18 @@ def test_pair_budget_overflow(rng):
     assert int(out.overflow_pairs) == 40 - 16
 
 
-def test_chunked_expansion_matches_single_shot(rng):
-    W = H = 64
-    n = 100
-    means = rng.uniform(0, 64, size=(n, 2)).astype(np.float32)
-    radius = rng.uniform(1, 10, size=n).astype(np.float32)
-    depths = rng.uniform(0.5, 10, size=n).astype(np.float32)
-    rect_min = np.maximum(means - radius[:, None], 0.0)
-    rect_max = np.minimum(means + radius[:, None], np.array([W - 1, H - 1], np.float32))
-    a = binning.bin_gaussians(
-        jnp.asarray(rect_min), jnp.asarray(rect_max), jnp.asarray(radius),
-        jnp.asarray(depths), W, H, 16, 16, 16, 1024, expand_chunk=1 << 16,
+def test_truncation_keeps_row_major_prefix(rng):
+    """A footprint larger than R keeps exactly the first R tiles in row-major
+    order (the documented truncation semantics overflow handling relies on)."""
+    W = H = 128
+    # One gaussian covering the full 8x8 tile grid (64 tiles), R=8.
+    rect_min = np.array([[0.0, 0.0]], np.float32)
+    rect_max = np.array([[127.0, 127.0]], np.float32)
+    out = run_binning(
+        rect_min, rect_max, np.ones(1, np.float32), np.ones(1, np.float32),
+        W, H, 16, 16, R=8, max_pairs=256,
     )
-    b = binning.bin_gaussians(
-        jnp.asarray(rect_min), jnp.asarray(rect_max), jnp.asarray(radius),
-        jnp.asarray(depths), W, H, 16, 16, 16, 1024, expand_chunk=32,
-    )
-    np.testing.assert_array_equal(np.asarray(a.sorted_tile_id), np.asarray(b.sorted_tile_id))
-    np.testing.assert_array_equal(np.asarray(a.sorted_gauss_idx), np.asarray(b.sorted_gauss_idx))
-    assert int(a.num_pairs) == int(b.num_pairs)
+    assert int(out.overflow_gaussians) == 1
+    assert int(out.num_pairs) == 8
+    kept = np.asarray(out.sorted_tile_id)[np.asarray(out.pair_valid)]
+    np.testing.assert_array_equal(np.sort(kept), np.arange(8))

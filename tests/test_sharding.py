@@ -1,5 +1,6 @@
 """Multi-device tests on the 8-virtual-CPU mesh: DP gradient equivalence,
-band-render parity, and the combined data x tile mesh."""
+band-render parity, tile-parallel exactness vs the single-device step, and
+the combined data x tile mesh."""
 
 import dataclasses
 
@@ -22,6 +23,15 @@ from gaussiansplattingmlx_tpu.train.trainer import (
 from gaussiansplattingmlx_tpu.utils.point_cloud import PointCloud
 
 from test_train_smoke import RASTER, W, H, orbit_cameras, synth_scene
+
+# 8px tiles so a 2-band split of the 48px image keeps band_h (24) a multiple
+# of tile_h — the exactness precondition of the tile-parallel design.  The
+# footprint cap is raised so NO gaussian is truncated: R-truncation keeps a
+# row-major tile prefix, which differs between band-local and full-image
+# binning and would break the band==full equivalence being tested.
+RASTER8 = dataclasses.replace(
+    RASTER, tile_h=8, tile_w=8, max_tiles_per_gaussian=64, max_pairs=16384
+)
 
 
 def build_state(pts, cols, capacity=64):
@@ -58,12 +68,12 @@ def scene():
     return pts, cols, cams, np.stack(images).astype(np.float32)
 
 
-def make_cfg():
+def make_cfg(raster=RASTER):
     return TrainConfig(
         iterations=10, init_points=60, log_interval=1,
         snapshot_interval=10**9, checkpoint_interval=0, output_dir="",
         model=ModelConfig(sh_degree=0, initial_capacity=64),
-        raster=RASTER, densify=DensifyConfig(from_iter=10**9),
+        raster=raster, densify=DensifyConfig(from_iter=10**9),
     )
 
 
@@ -100,26 +110,11 @@ def test_band_render_matches_full(scene):
         )
 
 
-def test_dp_matches_mean_of_single_steps(scene):
-    """8-way DP step == single-device step on the averaged gradient."""
-    pts, cols, cams, images = scene
-    data = TrainData(cameras=cams, images=images)
-    cfg = make_cfg()
-    views = stack_views(data)
-
-    mesh = sharding.make_mesh(data_parallel=8, tile_parallel=1)
-    dp_step = sharding.make_dp_train_step(cfg, W, H, 0, cfg.iterations, mesh)
-    state = sharding.replicate_state(build_state(pts, cols), mesh)
-    batch = sharding.shard_view_batch(views, mesh)
-    new_state, metrics = dp_step(state, batch)
-    assert np.isfinite(float(metrics["loss"]))
-
-    # Manual average of 8 single-view grads -> same params after one Adam step.
-    single = build_state(pts, cols)
-    active = gaussians.active_mask(single.params, single.num_active)
+def single_view_loss_and_grad(views, state, i, raster=RASTER):
+    active = gaussians.active_mask(state.params, state.num_active)
 
     @jax.jit
-    def grad_one(ptuple, i):
+    def go(ptuple, i):
         def loss_fn(ptuple):
             params = gaussians.GaussianParams.from_tuple(ptuple)
             means, shs, opacity, scales, rots = gaussians.activations(params, active)
@@ -128,7 +123,7 @@ def test_dp_matches_mean_of_single_steps(scene):
                 views["view"][i], views["proj"][i], views["camera_center"][i],
                 views["fov_x"][i], views["fov_y"][i],
                 views["focal_x"][i], views["focal_y"][i],
-                W, H, 0, raster_cfg=RASTER, backend="reference",
+                W, H, 0, raster_cfg=raster, backend="reference",
             )
             from gaussiansplattingmlx_tpu.ops import losses as L
 
@@ -140,15 +135,45 @@ def test_dp_matches_mean_of_single_steps(scene):
 
         return jax.value_and_grad(loss_fn)(ptuple)
 
+    return go(state.params.as_tuple(), jnp.int32(i))
+
+
+def test_dp_matches_mean_of_single_steps(scene):
+    """8-way DP step == single-device step on the averaged gradient, and the
+    densify statistic is the MEAN OF per-view grad NORMS."""
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    cfg = make_cfg()
+    views = stack_views(data)
+
+    mesh = sharding.make_mesh(data_parallel=8, tile_parallel=1)
+    dp_step = sharding.make_dp_train_step(cfg, W, H, 0, cfg.iterations, mesh)
+    state = sharding.replicate_state(build_state(pts, cols), mesh)
+    batch = sharding.replicate_views(views, mesh)
+    idx = sharding.shard_view_idx(np.arange(8), mesh)
+    new_state, metrics, imgs = dp_step(state, batch, idx)
+    assert np.isfinite(float(metrics["loss"]))
+    assert imgs.shape == (8, H, W, 3)
+
+    # Manual average of 8 single-view grads -> same params after one Adam step.
+    single = build_state(pts, cols)
     grads_sum = None
     losses = []
+    norm_sum = np.zeros((single.params.capacity,), np.float64)
     for i in range(8):
-        l, g = grad_one(single.params.as_tuple(), jnp.int32(i))
+        l, g = single_view_loss_and_grad(views, single, i)
         losses.append(float(l))
+        gp = gaussians.GaussianParams.from_tuple(g)
+        norm_sum += np.sqrt(np.sum(np.asarray(gp.xyz) ** 2, axis=1))
         g = jax.tree.map(lambda x: x / 8.0, g)
         grads_sum = g if grads_sum is None else jax.tree.map(jnp.add, grads_sum, g)
 
     np.testing.assert_allclose(float(metrics["loss"]), np.mean(losses), rtol=1e-5)
+    # Densify statistic: mean over views of per-view gradient norms
+    # (GaussianTrainer.swift:321-339 accumulates per-step ||grad_xyz||).
+    np.testing.assert_allclose(
+        np.asarray(new_state.grad_accum), norm_sum / 8.0, rtol=1e-4, atol=1e-9
+    )
     grads = gaussians.GaussianParams.from_tuple(grads_sum)
     lrs = gaussians.learning_rates(0, cfg.iterations)
     lr_tree = gaussians.GaussianParams(
@@ -163,16 +188,107 @@ def test_dp_matches_mean_of_single_steps(scene):
     )
 
 
+def test_tile_parallel_matches_single_device(scene):
+    """(data=1, tile=2) step == the plain single-device train step: loss,
+    gradients (via params), and densify statistic all allclose — the SSIM
+    band-seam exactness guarantee."""
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams[:1], images=images[:1])
+    cfg = make_cfg(RASTER8)
+    views = stack_views(data)
+
+    mesh = sharding.make_mesh(
+        data_parallel=1, tile_parallel=2, devices=jax.devices()[:2]
+    )
+    dp_step = sharding.make_dp_train_step(cfg, W, H, 0, cfg.iterations, mesh)
+    state0 = build_state(pts, cols)
+    state = sharding.replicate_state(state0, mesh)
+    batch = sharding.replicate_views(views, mesh)
+    idx = sharding.shard_view_idx([0], mesh)
+    tiled_state, tiled_metrics, _ = dp_step(state, batch, idx)
+
+    ref_step = make_train_step(cfg, W, H, 0, cfg.iterations, backend="reference")
+    ref_state, ref_metrics, _ = ref_step(
+        build_state(pts, cols), views, jnp.int32(0)
+    )
+
+    np.testing.assert_allclose(
+        float(tiled_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(tiled_metrics["ssim"]), float(ref_metrics["ssim"]), rtol=1e-6
+    )
+    for name in ("xyz", "scales", "opacity", "features_dc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(tiled_state.params, name)),
+            np.asarray(getattr(ref_state.params, name)),
+            rtol=1e-5, atol=1e-7, err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(tiled_state.grad_accum), np.asarray(ref_state.grad_accum),
+        rtol=1e-4, atol=1e-9,
+    )
+
+
+def test_mesh_trainer_converges_with_densify(scene):
+    """Full Trainer loop on a (data=4, tile=2) mesh: multi-step training
+    improves the loss and densification grows the model under the mesh
+    (capacity growth re-replicates) — multi-chip TRAINING, not just a step."""
+    from gaussiansplattingmlx_tpu.train.trainer import Trainer
+
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    pc = PointCloud(
+        coords=pts + np.random.default_rng(3).normal(
+            size=pts.shape
+        ).astype(np.float32) * 0.05,
+        colors=cols * 255.0,
+    )
+    cfg = dataclasses.replace(
+        make_cfg(RASTER8),
+        iterations=24, log_interval=4,
+        model=ModelConfig(sh_degree=0, initial_capacity=64, max_gaussians=512),
+        densify=DensifyConfig(interval=8, from_iter=8, until_iter=1000,
+                              grad_threshold=1e-9, max_scale=1e9),
+    )
+    mesh = sharding.make_mesh(data_parallel=4, tile_parallel=2)
+    trainer = Trainer(cfg, data, pc, backend="reference", mesh=mesh)
+    n0 = int(trainer.state.num_active)
+    log = []
+    final = trainer.run(on_metrics=log.append)
+    assert np.isfinite(final["loss"])
+    assert final["loss"] < log[0]["loss"]
+    # grad_threshold ~ 0 forces clones at every densify interval.
+    assert int(trainer.state.num_active) > n0
+    # State stayed replicated through densify + growth.
+    assert int(trainer.state.step) == 24
+
+
 def test_data_x_tile_mesh(scene):
-    """4 cameras x 2 pixel bands on the 8-device mesh runs and is finite."""
+    """(data=4, tile=2) == (data=4, tile=1): the tile split changes nothing."""
     pts, cols, cams, images = scene
     data = TrainData(cameras=cams[:4], images=images[:4])
-    cfg = make_cfg()
+    cfg = make_cfg(RASTER8)
     views = stack_views(data)
-    mesh = sharding.make_mesh(data_parallel=4, tile_parallel=2)
-    dp_step = sharding.make_dp_train_step(cfg, W, H, 0, cfg.iterations, mesh)
-    state = sharding.replicate_state(build_state(pts, cols), mesh)
-    batch = sharding.shard_view_batch(views, mesh)
-    new_state, metrics = dp_step(state, batch)
-    assert np.isfinite(float(metrics["loss"]))
-    assert np.isfinite(np.asarray(new_state.params.xyz)).all()
+
+    def run(dp, tp, ndev):
+        mesh = sharding.make_mesh(dp, tp, devices=jax.devices()[:ndev])
+        step = sharding.make_dp_train_step(cfg, W, H, 0, cfg.iterations, mesh)
+        state = sharding.replicate_state(build_state(pts, cols), mesh)
+        batch = sharding.replicate_views(views, mesh)
+        idx = sharding.shard_view_idx(np.arange(4), mesh)
+        return step(state, batch, idx)
+
+    s_a, m_a, _ = run(4, 2, 8)
+    s_b, m_b, _ = run(4, 1, 4)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
+    for name in ("xyz", "scales", "opacity"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_a.params, name)),
+            np.asarray(getattr(s_b.params, name)),
+            rtol=1e-5, atol=1e-7, err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_a.grad_accum), np.asarray(s_b.grad_accum),
+        rtol=1e-4, atol=1e-9,
+    )

@@ -88,11 +88,6 @@ def main(argv=None):
         resize_factor=cfg.resize_factor,
         white_background=cfg.white_background,
     )
-    # Depth supervision default matches the reference: only Blender provides
-    # depth; weight stays lambda_depth (0 by default) either way.
-    if args.dataset == "blender" and data.has_depth() and args.lambda_depth is None:
-        pass
-
     if not args.no_center:
         pcd, centroid = pcd.centering()
         data = data.shift_cameras(centroid)
