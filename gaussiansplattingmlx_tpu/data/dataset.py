@@ -66,7 +66,8 @@ class TrainData:
             c2w[:3, 3] -= centroid
             new_cams.append(
                 Camera.from_c2w(
-                    cam.width, cam.height, cam.focal_x, cam.focal_y, c2w
+                    cam.width, cam.height, cam.focal_x, cam.focal_y, c2w,
+                    znear=cam.znear, zfar=cam.zfar,
                 )
             )
         return TrainData(

@@ -1,14 +1,18 @@
-"""Full training checkpoint: params + Adam state + step + counters.
+"""Full training checkpoint: params + Adam state + step + counters + RNG.
 
 The reference's only checkpoint is the PLY snapshot (params only; optimizer
 state is lost and even reset every densify, GaussianTrainer.swift:909-929,
 1105-1110), so training cannot actually resume.  Here a checkpoint restores
-training exactly: all parameter buffers, Adam moments, the active count,
-densification accumulators, and the step counter, as a single .npz.
+training BIT-exactly: all parameter buffers, Adam moments, the active count,
+densification accumulators, the step counter, the host RNG state (camera
+sampling sequence) and the JAX PRNG key (densify noise), as a single .npz —
+a resumed run replays the identical camera/noise sequence from the
+checkpoint step, not from step 0.
 """
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 import jax
@@ -20,7 +24,13 @@ from ..models.gaussians import GaussianParams, PARAM_NAMES
 from . import optimizer as adam
 
 
-def save(path, state, cfg: TrainConfig | None = None) -> None:
+def save(
+    path,
+    state,
+    cfg: TrainConfig | None = None,
+    host_rng: np.random.Generator | None = None,
+    jax_key=None,
+) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {}
@@ -40,10 +50,20 @@ def save(path, state, cfg: TrainConfig | None = None) -> None:
         arrays["config_json"] = np.frombuffer(
             cfg.to_json().encode("utf-8"), dtype=np.uint8
         )
+    if host_rng is not None:
+        rng_json = json.dumps(host_rng.bit_generator.state)
+        arrays["host_rng_json"] = np.frombuffer(rng_json.encode("utf-8"), np.uint8)
+    if jax_key is not None:
+        arrays["jax_key"] = np.asarray(
+            jax.random.key_data(jax_key) if jnp.issubdtype(
+                jnp.asarray(jax_key).dtype, jax.dtypes.prng_key
+            ) else jax_key
+        )
     np.savez(path, **arrays)
 
 
 def load(path):
+    """Returns (TrainState, host_rng | None, jax_key | None)."""
     from .trainer import TrainState
 
     z = np.load(path)
@@ -53,7 +73,7 @@ def load(path):
         v=GaussianParams(**{n: jnp.asarray(z[f"adam_v_{n}"]) for n in PARAM_NAMES}),
         count=jnp.asarray(z["adam_count"]),
     )
-    return TrainState(
+    state = TrainState(
         params=params,
         opt=opt,
         num_active=jnp.asarray(z["num_active"]),
@@ -61,6 +81,13 @@ def load(path):
         grad_denom=jnp.asarray(z["grad_denom"]),
         step=jnp.asarray(z["step"]),
     )
+    host_rng = None
+    if "host_rng_json" in z:
+        rng_state = json.loads(bytes(z["host_rng_json"]).decode("utf-8"))
+        host_rng = np.random.default_rng(0)
+        host_rng.bit_generator.state = rng_state
+    jax_key = jnp.asarray(z["jax_key"]) if "jax_key" in z else None
+    return state, host_rng, jax_key
 
 
 def load_config(path) -> TrainConfig | None:

@@ -71,6 +71,8 @@ class Camera:
     proj: np.ndarray  # [4,4] row-vector projection (= P^T)
     camera_center: np.ndarray  # [3]
     c2w: np.ndarray  # [4,4] original camera-to-world
+    znear: float = 0.1
+    zfar: float = 100.0
 
     @staticmethod
     def from_c2w(
@@ -100,6 +102,8 @@ class Camera:
             proj=proj.astype(np.float32),
             camera_center=camera_center.astype(np.float32),
             c2w=c2w.astype(np.float32),
+            znear=float(znear),
+            zfar=float(zfar),
         )
 
     @staticmethod

@@ -139,6 +139,49 @@ def test_densify_in_loop(scene):
     assert int(trainer.state.num_active) > n0
 
 
+def test_overflow_auto_grow(scene, capsys):
+    """A truncating pair budget is a HANDLED condition: the render error it
+    causes is real (quantified vs the untruncated oracle), the trainer warns
+    and doubles capacity at the next log boundary, and after growth the
+    overflow counters drop to zero and the render is exact."""
+    pts, cols, cams, images = scene
+    _, _, params = synth_scene(np.random.default_rng(42))
+
+    # Quantify the truncation error at a budget that actually bites.
+    tight = dataclasses.replace(RASTER, max_pairs=128, auto_grow=False)
+    full_out = render_view(params, cams[0])
+    t = cams[0].tensors()
+    means, shs, opacity, scales, rots = gaussians.activations(params)
+    out_tight, aux_tight = render(
+        means, shs, opacity, scales, rots,
+        jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+        jnp.asarray(t["camera_center"]),
+        t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
+        W, H, 0, raster_cfg=tight, backend="reference",
+    )
+    assert int(aux_tight.overflow_pairs) > 0
+    err = float(jnp.abs(out_tight.color - full_out.color).max())
+    assert err > 1e-3  # truncation visibly corrupts the image ...
+
+    # ... and the trainer responds: capacity doubles until overflow is gone.
+    data = TrainData(cameras=cams, images=images)
+    pc = PointCloud(coords=pts, colors=cols * 255.0)
+    cfg = TrainConfig(
+        iterations=8, init_points=len(pts), log_interval=2,
+        snapshot_interval=10**9, checkpoint_interval=0, output_dir="",
+        model=ModelConfig(sh_degree=0, initial_capacity=64),
+        raster=dataclasses.replace(RASTER, max_pairs=128, max_pairs_limit=4096),
+        densify=DensifyConfig(from_iter=10**9),
+    )
+    trainer = Trainer(cfg, data, pc, backend="reference")
+    log = []
+    trainer.run(on_metrics=log.append)
+    assert trainer.cfg.raster.max_pairs > 128  # grew
+    assert log[-1]["overflow_pairs"] == 0  # and resolved
+    err = capsys.readouterr().err
+    assert "WARNING: binning overflow" in err
+
+
 def test_checkpoint_roundtrip(scene, tmp_path):
     pts, cols, cams, images = scene
     data = TrainData(cameras=cams, images=images)
@@ -154,10 +197,57 @@ def test_checkpoint_roundtrip(scene, tmp_path):
     trainer.save_checkpoint(5)
     from gaussiansplattingmlx_tpu.train import checkpoint
 
-    state2 = checkpoint.load(tmp_path / "ckpt_5.npz")
+    state2, host_rng, jax_key = checkpoint.load(tmp_path / "ckpt_5.npz")
     assert int(state2.step) == int(trainer.state.step)
     np.testing.assert_array_equal(
         np.asarray(state2.params.xyz), np.asarray(trainer.state.params.xyz)
     )
+    # RNG round-trips: next draws match the live trainer's.
+    assert host_rng is not None and jax_key is not None
+    assert host_rng.integers(0, 1 << 30) == trainer.rng.integers(0, 1 << 30)
+    np.testing.assert_array_equal(np.asarray(jax_key), np.asarray(trainer.key))
     cfg2 = checkpoint.load_config(tmp_path / "ckpt_5.npz")
     assert cfg2.iterations == 5
+
+
+def test_resume_bit_equivalence(scene, tmp_path):
+    """ckpt at step 3 + 4 more steps == 7 uninterrupted steps, bit-exact
+    (params, Adam moments, and the replayed camera/noise sequence)."""
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    pc = PointCloud(coords=pts, colors=cols * 255.0)
+
+    def make_cfg(iters):
+        return TrainConfig(
+            iterations=iters, init_points=len(pts), log_interval=100,
+            snapshot_interval=10**9, checkpoint_interval=0, output_dir=str(tmp_path),
+            model=ModelConfig(sh_degree=0, initial_capacity=64),
+            raster=RASTER,
+            densify=DensifyConfig(interval=2, from_iter=2, until_iter=1000,
+                                  grad_threshold=1e-9, max_scale=1e9),
+        )
+
+    t_full = Trainer(make_cfg(7), data, pc, backend="reference")
+    t_full.run()
+
+    # Same config (the LR schedule depends on total iterations); stop early.
+    t_a = Trainer(make_cfg(7), data, pc, backend="reference")
+    t_a.run(iterations=3)
+    t_a.save_checkpoint(3)
+
+    t_b = Trainer(make_cfg(7), data, pc, backend="reference")
+    t_b.restore_checkpoint(tmp_path / "ckpt_3.npz")
+    assert int(t_b.state.step) == 3
+    t_b.run()
+
+    assert int(t_b.state.step) == int(t_full.state.step) == 7
+    assert int(t_b.state.num_active) == int(t_full.state.num_active)
+    for name in ("xyz", "scales", "opacity"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(t_b.state.params, name)),
+            np.asarray(getattr(t_full.state.params, name)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(getattr(t_b.state.opt.m, name)),
+            np.asarray(getattr(t_full.state.opt.m, name)),
+        )
