@@ -1,0 +1,291 @@
+"""Flagship-scale training campaign on real TPU (the north-star workload).
+
+The reference's default workload is lego @ resize 0.5 (800x800), 16,384 init
+points, 30,000 iterations, SH degree 4, densifying to O(100k+) gaussians
+(UI/TrainView.swift:171,206-215, Trainer/GaussianTrainer.swift:300).  Datasets
+cannot be downloaded in this environment, so the campaign uses a procedural
+lego-scale scene: a structured ground-truth model (~60k surface splats over a
+studded baseplate, blocks, arches and a cylinder tower) rendered to 32 views
+at 800x800 by this framework's own renderer, then trained from a noisy 16,384
+point SfM-like subsample.
+
+Outputs (to --out):
+  metrics.jsonl   one line per log interval (loss, psnr, n, it/s, overflow)
+  summary.json    final PSNR, gaussian trajectory, sustained it/s, recompile
+                  count, overflow totals  -> the BASELINE.md campaign row
+  ckpt_*.npz      resumable checkpoints
+
+    python scripts/train_flagship_tpu.py --iters 30000 --out outputs/flagship
+"""
+
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def _surface_points(rng, n):
+    """Procedural lego-ish scene: points + colors on structured surfaces.
+
+    Returns (points [n,3], colors [n,3]) with sharp color regions and
+    geometric detail at several scales — structure the densifier must
+    actually resolve (flat plates, right angles, curved tower, studs)."""
+    groups = []
+
+    def add(pts, col, jitter=0.0):
+        pts = np.asarray(pts, np.float32)
+        col = np.broadcast_to(np.asarray(col, np.float32), pts.shape).copy()
+        # high-frequency per-point color detail so SH/color has work to do
+        col *= rng.uniform(0.85, 1.15, size=(len(pts), 1)).astype(np.float32)
+        groups.append((pts, np.clip(col, 0.02, 0.98)))
+
+    def rect(n, c, sx, sy, sz, axis_up=1):
+        u = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+        u[:, axis_up] = np.sign(u[:, axis_up])  # two faces
+        return c + u * np.array([sx, sy, sz], np.float32)
+
+    # Baseplate with studs (16x16 grid)
+    base = rng.uniform(-1, 1, size=(14000, 3)).astype(np.float32)
+    base[:, 1] = 0.0
+    base *= np.array([1.6, 1.0, 1.6], np.float32)
+    add(base, [0.25, 0.62, 0.20])
+    gx, gz = np.meshgrid(np.linspace(-1.45, 1.45, 12), np.linspace(-1.45, 1.45, 12))
+    for cx, cz in zip(gx.ravel(), gz.ravel()):
+        th = rng.uniform(0, 2 * np.pi, 40)
+        r = 0.05 * np.sqrt(rng.uniform(0, 1, 40))
+        stud = np.stack([cx + r * np.cos(th),
+                         0.04 + 0.0 * th, cz + r * np.sin(th)], 1)
+        add(stud, [0.30, 0.68, 0.24])
+
+    # Stacked brick towers (sharp right angles, saturated colors)
+    brick_cols = [[0.85, 0.15, 0.12], [0.95, 0.75, 0.10], [0.15, 0.35, 0.85],
+                  [0.90, 0.45, 0.10], [0.75, 0.12, 0.70]]
+    for i, bc in enumerate(brick_cols):
+        cx = -1.0 + 0.5 * i
+        for lvl in range(2 + (i % 3)):
+            c = np.array([cx, 0.15 + 0.28 * lvl, -0.7 + 0.25 * (i % 2)])
+            add(rect(1800, c, 0.18, 0.12, 0.12, axis_up=1), bc)
+
+    # Cylinder tower with a checker texture
+    th = rng.uniform(0, 2 * np.pi, 9000)
+    h = rng.uniform(0, 1.3, 9000)
+    cyl = np.stack([0.9 + 0.35 * np.cos(th), h, 0.8 + 0.35 * np.sin(th)], 1)
+    checker = ((np.floor(th / (np.pi / 6)) + np.floor(h / 0.18)) % 2)
+    cyl_col = np.where(checker[:, None] > 0,
+                       np.array([[0.92, 0.92, 0.90]]), np.array([[0.80, 0.20, 0.15]]))
+    groups.append((cyl.astype(np.float32), cyl_col.astype(np.float32)))
+
+    # Arch (half-torus)
+    u = rng.uniform(0, np.pi, 6000)
+    v = rng.uniform(0, 2 * np.pi, 6000)
+    R, rr = 0.55, 0.10
+    arch = np.stack([-0.9 + (R + rr * np.cos(v)) * np.cos(u),
+                     0.05 + (R + rr * np.cos(v)) * np.sin(u),
+                     0.9 + rr * np.sin(v)], 1)
+    add(arch.astype(np.float32), [0.95, 0.80, 0.15])
+
+    pts = np.concatenate([g[0] for g in groups])
+    cols = np.concatenate([g[1] for g in groups])
+    sel = rng.permutation(len(pts))[:n]
+    return pts[sel].astype(np.float32), cols[sel].astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30000)
+    ap.add_argument("--views", type=int, default=32)
+    ap.add_argument("--size", type=int, default=800)
+    ap.add_argument("--gt-gaussians", type=int, default=60000)
+    ap.add_argument("--init-points", type=int, default=16384)
+    ap.add_argument("--sh-degree", type=int, default=3)
+    ap.add_argument("--densify-until", type=int, default=15000)
+    ap.add_argument("--grad-threshold", type=float, default=2e-4)
+    ap.add_argument("--backend", default=None)
+    ap.add_argument("--resume", default="")
+    ap.add_argument("--out", default="outputs/flagship")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussiansplattingmlx_tpu.config import (
+        DensifyConfig, ModelConfig, RasterizerConfig, TrainConfig,
+    )
+    from gaussiansplattingmlx_tpu.data.dataset import TrainData
+    from gaussiansplattingmlx_tpu.models import gaussians
+    from gaussiansplattingmlx_tpu.render import render
+    from gaussiansplattingmlx_tpu.train.trainer import Trainer
+    from gaussiansplattingmlx_tpu.utils.camera import Camera
+    from gaussiansplattingmlx_tpu.utils.point_cloud import PointCloud
+
+    W = H = args.size
+    rng = np.random.default_rng(0)
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    # ---- ground-truth scene ------------------------------------------------
+    n = args.gt_gaussians
+    pts, cols = _surface_points(rng, n)
+    gt_params, _ = gaussians.create_from_points(
+        pts, cols, sh_degree=args.sh_degree, capacity=n
+    )
+    # Surface-splat scales: tie to local point spacing (kNN init already does
+    # this); opacity high so surfaces are solid.
+    gt_params = dataclasses.replace(
+        gt_params,
+        opacity=jnp.asarray(
+            np.full((n, 1), 2.0, np.float32)  # sigmoid(2) ~ 0.88
+        ),
+    )
+
+    gt_raster = RasterizerConfig(max_pairs=2**21, max_tiles_per_gaussian=32)
+    cams = []
+    for i in range(args.views):
+        ang = 2 * np.pi * i / args.views
+        elev = 1.2 + 0.8 * np.sin(2 * ang)
+        radius = 4.2
+        pos = np.array([radius * np.sin(ang), elev, -radius * np.cos(ang)])
+        look = np.array([0.0, 0.45, 0.0])
+        fwd = look - pos
+        fwd /= np.linalg.norm(fwd)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = (
+            right, np.cross(fwd, right), fwd, pos,
+        )
+        cams.append(Camera.from_c2w(W, H, 1.15 * W, 1.15 * W, c2w))
+
+    means, shs, opacity, scales, rots = gaussians.activations(gt_params)
+
+    @jax.jit
+    def render_gt(view, proj, center, fovx, fovy, fx, fy):
+        out, _ = render(
+            means, shs, opacity, scales, rots,
+            view, proj, center, fovx, fovy, fx, fy,
+            W, H, args.sh_degree, raster_cfg=gt_raster, backend=args.backend,
+            white_background=True,
+        )
+        return out.color
+
+    print(f"rendering {args.views} ground-truth views at {W}x{H} ...", flush=True)
+    t0 = time.time()
+    images = []
+    for c in cams:
+        t = c.tensors()
+        images.append(np.asarray(render_gt(
+            jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+            jnp.asarray(t["camera_center"]),
+            t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
+        )))
+    images = np.stack(images).astype(np.float32)
+    print(f"rendered in {time.time()-t0:.1f}s "
+          f"(mean {images.mean():.3f}, std {images.std():.3f})", flush=True)
+    from PIL import Image as PILImage
+    PILImage.fromarray(
+        np.clip(images[0] * 255, 0, 255).astype(np.uint8)
+    ).save(out_dir / "gt_view0.png")
+
+    # ---- train config (reference defaults at flagship scale) ---------------
+    # SfM-like init: noisy subsample of the GT surface points.
+    sel = rng.permutation(n)[: args.init_points]
+    noisy = pts[sel] + rng.normal(size=(args.init_points, 3)).astype(np.float32) * 0.01
+    pcd = PointCloud(coords=noisy, colors=cols[sel] * 255.0)
+
+    cfg = TrainConfig(
+        iterations=args.iters,
+        init_points=args.init_points,
+        log_interval=50,
+        snapshot_interval=10000,
+        preview_interval=2000,
+        checkpoint_interval=5000,
+        early_stop_loss=1e-7,
+        white_background=True,
+        output_dir=str(out_dir),
+        model=ModelConfig(
+            sh_degree=args.sh_degree, initial_capacity=2**15,
+            max_gaussians=1_000_000,
+        ),
+        raster=RasterizerConfig(max_pairs=2**20, max_tiles_per_gaussian=32),
+        densify=DensifyConfig(
+            interval=100, from_iter=500, until_iter=args.densify_until,
+            grad_threshold=args.grad_threshold,
+        ),
+    )
+    data = TrainData(cameras=cams, images=images)
+    trainer = Trainer(cfg, data, pcd, backend=args.backend)
+    if args.resume:
+        trainer.restore_checkpoint(args.resume)
+        print(f"resumed from {args.resume} at step {int(trainer.state.step)}")
+
+    # ---- run ----------------------------------------------------------------
+    log_path = out_dir / "metrics.jsonl"
+    caps_seen = {int(trainer.state.params.capacity)}
+    pair_caps_seen = {cfg.raster.max_pairs}
+    traj = []
+    t0 = time.time()
+
+    def on_metrics(m):
+        caps_seen.add(int(trainer.state.params.capacity))
+        pair_caps_seen.add(trainer.cfg.raster.max_pairs)
+        row = dict(m, capacity=int(trainer.state.params.capacity),
+                   wall_s=round(time.time() - t0, 1))
+        traj.append(row)
+        with open(log_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(f"iter {m['iteration']:6d} loss {m['loss']:.4f} "
+              f"psnr {m['psnr']:6.2f} n {m['num_active']:7d} "
+              f"{m['iters_per_s']:6.2f} it/s "
+              f"ovfl {int(m['overflow_pairs'])}/{int(m['overflow_gaussians'])}",
+              flush=True)
+
+    final = trainer.run(on_metrics=on_metrics)
+    wall = time.time() - t0
+    trainer.save_snapshot(int(trainer.state.step))
+    trainer.save_loss_curve()
+
+    # Sustained it/s: median over the second half of the run (excludes
+    # early-phase recompiles).
+    half = [r["iters_per_s"] for r in traj[len(traj) // 2:]]
+    summary = {
+        "workload": {
+            "image": f"{W}x{H}", "views": args.views,
+            "sh_degree": args.sh_degree, "init_points": args.init_points,
+            "iterations": int(trainer.state.step),
+        },
+        "final_psnr": final.get("psnr"),
+        "final_loss": final.get("loss"),
+        "first_psnr": traj[0]["psnr"] if traj else None,
+        "num_gaussians_final": int(trainer.state.num_active),
+        "gaussian_trajectory": [
+            (r["iteration"], r["num_active"]) for r in traj[:: max(1, len(traj) // 40)]
+        ],
+        "sustained_it_per_s": float(np.median(half)) if half else None,
+        "mean_it_per_s": int(trainer.state.step) / wall,
+        "wall_s": wall,
+        "capacity_recompiles": len(caps_seen) - 1,
+        "pair_budget_recompiles": len(pair_caps_seen) - 1,
+        "final_max_pairs": trainer.cfg.raster.max_pairs,
+        "overflow_events": sum(
+            1 for r in traj
+            if r.get("overflow_pairs", 0) or r.get("overflow_gaussians", 0)
+        ),
+    }
+    with open(out_dir / "summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
