@@ -50,6 +50,10 @@ class RasterizerConfig:
     max_tiles_limit: int = 64  # R doubles cost the [N, R] sort; cap growth
     # Gaussian records processed per inner chunk of the Pallas kernel.
     chunk_size: int = 128
+    # Per-Gaussian gradient reduction: "segsum" (sort + MXU segment-sum
+    # Pallas kernel; ~3x faster than XLA's serialized scatter on TPU) or
+    # "scatter" (XLA scatter-add fallback).
+    grad_reduce: str = "segsum"
     # Compositing constants (tile_global_kernels.slang:453-455,599).
     alpha_clamp: float = 0.99
     transmittance_eps: float = 1e-4

@@ -67,6 +67,7 @@ def project_gaussians(
     cov2d_dilation: float = 0.3,
     radius_eigen_eps: float = 1e-5,
     quat_norm_eps: float = 1e-8,
+    active: jax.Array | None = None,
 ) -> ProjectionOutputs:
     """Project N Gaussians through one camera.
 
@@ -94,6 +95,14 @@ def project_gaussians(
     p_clip = jnp.matmul(p_view, proj, precision=hp)  # [N, 4]
     depths = p_view[:, 2]
     visible = depths >= z_cull
+    if active is not None:
+        # Inactive capacity slots are culled exactly like behind-camera rows:
+        # radius 0, so they never enter binning or consume the pair budget.
+        # (Their composited contribution is already zero via the masked
+        # opacity, so this changes no rendered pixel or gradient — it stops
+        # padding slots with default exp(0)=1 scales from flooding the tile
+        # expansion and triggering bogus overflow auto-growth.)
+        visible = jnp.logical_and(visible, active > 0)
     # Culled gaussians never render (radii forced to 0 below), but their
     # inf/NaN intermediates would still poison THEIR OWN parameter gradients
     # through 0-cotangent * inf = NaN in the VJP.  Substituting a safe

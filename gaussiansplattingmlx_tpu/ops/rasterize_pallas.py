@@ -407,6 +407,178 @@ def _zero_cot(x):
     return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
+# --- per-Gaussian gradient reduction (sort + MXU segment sum) ---------------
+#
+# The backward pass produces one 16-float gradient row per sorted pair
+# ([16, P_aligned]); the per-Gaussian gradient is the sum of each Gaussian's
+# rows.  The reference does this with float atomics (slang :849-877).  The
+# obvious XLA translation — the autodiff transpose of the record gather, a
+# scatter-add — serializes on TPU (~17 ns/row: 22.7 ms at the 1M-pair
+# workload, ~23% of the whole train step; scripts/bwd_reduce_tune.py).
+#
+# TPU-first replacement: lax.sort IS fast on TPU (5.7 ms for 17 columns at
+# 1.3M rows), so sort the rows by Gaussian id and reduce contiguous segments
+# with an MXU one-hot contraction per Gaussian block:
+#
+#   1. gid = aligned_idx (invalid pairs -> sentinel, sorted to the tail and
+#      never touched again)
+#   2. one lax.sort carries the 11 live gradient rows as payloads
+#   3. a Pallas kernel tiles Gaussians into blocks of B; block b's pairs are
+#      the contiguous range [bounds[b], bounds[b+1]) of the sorted array
+#      (searchsorted), and the segment sum inside the block is
+#      onehot(C, B)^T-style contraction  acc(B,16) += onehot(B,C) . rows(16,C)
+#      — exact, deterministic, no atomics, and the MXU does the reduction.
+#
+# Precision: one-hot entries are exactly representable in bf16 and f32
+# splits are exact, so HIGHEST-precision passes reproduce the f32 sum.
+
+
+class SegsumStatic(NamedTuple):
+    num_rec: int  # N (rows of the gathered record table)
+    num_aligned: int  # P (columns of the pair-gradient buffer)
+    chunk: int  # pair chunk per DMA (must divide num_aligned)
+    block_b: int  # Gaussians per grid block
+    interpret: bool
+
+
+def _segsum_kernel(bounds_ref, gid_hbm, rows_hbm, out_ref, rows_vmem,
+                   ids_vmem, sem, isem, *, st: SegsumStatic):
+    B, C = st.block_b, st.chunk
+    b = pl.program_id(0)
+    pstart = bounds_ref[b]
+    pend = bounds_ref[b + 1]
+    c0 = (pstart // C) * C  # chunk-aligned sweep start
+    nchunks = pl.cdiv(pend - c0, C)
+    base = b * B
+
+    def rows_copy(ci, slot):
+        cstart = pl.multiple_of(c0 + ci * C, C)
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(cstart, C)], rows_vmem.at[slot], sem.at[slot]
+        )
+
+    def ids_copy(ci, slot):
+        cstart = pl.multiple_of(c0 + ci * C, C)
+        return pltpu.make_async_copy(
+            gid_hbm.at[:, pl.ds(cstart, C)], ids_vmem.at[slot], isem.at[slot]
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        rows_copy(0, 0).start()
+        ids_copy(0, 0).start()
+
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
+
+    def body(ci, acc):
+        slot = jax.lax.rem(ci, 2)
+        rows_copy(ci, slot).wait()
+        ids_copy(ci, slot).wait()
+
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            rows_copy(ci + 1, 1 - slot).start()
+            ids_copy(ci + 1, 1 - slot).start()
+
+        rows = rows_vmem[slot]  # (16, C)
+        local = ids_vmem[slot] - base  # (1, C); out-of-block -> no match
+        onehot = jnp.where(iota_b == local, 1.0, 0.0)  # (B, C)
+        # NT contraction on the shared lane axis: (B, C) . (16, C) -> (B, 16).
+        return acc + _mm(onehot, rows, ((1,), (1,)))
+
+    acc = jax.lax.fori_loop(0, nchunks, body, jnp.zeros((B, 16), jnp.float32))
+    out_ref[...] = acc
+
+
+def _segment_reduce_pallas(st: SegsumStatic, grad_cm, gid):
+    """[16, P] pair-gradient rows + [P] Gaussian ids -> [N, 16] sums."""
+    B = st.block_b
+    nblk = -(-st.num_rec // B)
+    sentinel = nblk * B
+    gid = jnp.where(gid < st.num_rec, gid, sentinel)
+    # One sort carries the 11 live rows; invalid/padding pairs sort to the
+    # tail beyond bounds[nblk] and are never swept.
+    cols = jax.lax.sort(
+        (gid,) + tuple(grad_cm[i] for i in range(11)), num_keys=1
+    )
+    gid_s = cols[0].reshape(1, st.num_aligned)
+    rows_s = jnp.concatenate(
+        [
+            jnp.stack(cols[1:], axis=0),
+            jnp.zeros((REC_DIM - 11, st.num_aligned), jnp.float32),
+        ],
+        axis=0,
+    )
+    bounds = jnp.searchsorted(
+        cols[0], jnp.arange(nblk + 1, dtype=jnp.int32) * B, side="left"
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((B, 16), lambda b, *_: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, REC_DIM, st.chunk), jnp.float32),
+            pltpu.VMEM((2, 1, st.chunk), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_segsum_kernel, st=st),
+        out_shape=jax.ShapeDtypeStruct((nblk * B, 16), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=st.interpret,
+    )(bounds, gid_s, rows_s)
+    return out[: st.num_rec]
+
+
+class GatherStatic(NamedTuple):
+    num_rec: int
+    num_aligned: int
+    chunk: int
+    block_b: int
+    grad_reduce: str  # "segsum" | "scatter"
+    interpret: bool
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_records(gst: GatherStatic, rec, aligned_idx, aligned_valid):
+    out, _ = _gather_records_fwd(gst, rec, aligned_idx, aligned_valid)
+    return out
+
+
+def _gather_records_fwd(gst, rec, aligned_idx, aligned_valid):
+    gathered = rec[aligned_idx]  # [P_aligned, 16]
+    gathered = jnp.where(aligned_valid[:, None], gathered, 0.0)
+    return gathered.T, (aligned_idx, aligned_valid)
+
+
+def _gather_records_bwd(gst, residuals, g_cm):
+    aligned_idx, aligned_valid = residuals
+    if gst.grad_reduce == "segsum":
+        gid = jnp.where(aligned_valid, aligned_idx, gst.num_rec).astype(jnp.int32)
+        st = SegsumStatic(
+            num_rec=gst.num_rec, num_aligned=gst.num_aligned,
+            chunk=gst.chunk, block_b=gst.block_b, interpret=gst.interpret,
+        )
+        grad_rec = _segment_reduce_pallas(st, g_cm, gid)
+    else:
+        rows = jnp.where(aligned_valid[:, None], g_cm.T, 0.0)
+        grad_rec = jnp.zeros((gst.num_rec, REC_DIM), jnp.float32).at[
+            aligned_idx
+        ].add(rows)
+    return grad_rec, _zero_cot(aligned_idx), _zero_cot(aligned_valid)
+
+
+_gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _raster_core(st: RasterStatic, records_cm, aligned_start, tile_count):
     out, _ = _raster_fwd(st, records_cm, aligned_start, tile_count)
@@ -497,6 +669,7 @@ def rasterize_pallas(
     alpha_clamp: float = 0.99,
     transmittance_eps: float = 1e-4,
     undo_denom_floor: float = 1e-6,
+    grad_reduce: str = "segsum",
     interpret: bool = False,
 ) -> RenderOutputs:
     """Full rasterize: packed [N, 11] (reference layout) -> image outputs.
@@ -572,9 +745,25 @@ def rasterize_pallas(
     rec = jnp.concatenate(
         [rec, jnp.zeros((rec.shape[0], REC_DIM - 11), rec.dtype)], axis=1
     )
-    gathered = rec[aligned_idx]  # [P_aligned, 16]
-    gathered = jnp.where(aligned_valid[:, None], gathered, 0.0)
-    records_cm = gathered.T  # [16, P_aligned]
+    # The gather's gradient is the per-Gaussian reduction; its path is chosen
+    # here (sort + MXU segment-sum kernel, or the XLA scatter-add fallback —
+    # see _gather_records).  The segment-sum sweep requires chunk-aligned
+    # total columns, which the aligned layout guarantees when max_pairs is a
+    # chunk multiple.  Block/chunk sizes from the measured TPU sweep
+    # (scripts/bwd_reduce_tune.py): total matmul work is
+    # 2*16*(P*block_b + N*chunk), so a SMALL Gaussian block wins; 512-wide
+    # DMA chunks amortize copy latency.
+    seg_chunk = next(
+        (c for c in (512, 256, 128, C) if num_aligned % c == 0), 0
+    )
+    if seg_chunk == 0:
+        grad_reduce = "scatter"
+        seg_chunk = C
+    gst = GatherStatic(
+        num_rec=rec.shape[0], num_aligned=num_aligned, chunk=seg_chunk,
+        block_b=128, grad_reduce=grad_reduce, interpret=interpret,
+    )
+    records_cm = _gather_records(gst, rec, aligned_idx, aligned_valid)
 
     out = _raster_core(st, records_cm, aligned_start, tile_count)  # [T, 6, TT]
 

@@ -112,6 +112,7 @@ def make_dp_train_step(
                 raster_cfg=cfg.raster,
                 white_background=cfg.white_background,
                 backend=backend,
+                active=active,
                 pixel_y_offset=band,
                 full_image_height=image_height,
             )

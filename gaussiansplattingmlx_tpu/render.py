@@ -55,6 +55,7 @@ def render(
     backend: str | None = None,
     pixel_y_offset=None,
     full_image_height: int | None = None,
+    active: jax.Array | None = None,
 ):
     """Render one view.  All array args may be traced; shapes/ints static.
 
@@ -90,6 +91,7 @@ def render(
         cov2d_dilation=cfg.cov2d_dilation,
         radius_eigen_eps=cfg.radius_eigen_eps,
         quat_norm_eps=cfg.quat_norm_eps,
+        active=active,
     )
 
     means2d = p.means2d
@@ -152,6 +154,7 @@ def render(
             alpha_clamp=cfg.alpha_clamp,
             transmittance_eps=cfg.transmittance_eps,
             undo_denom_floor=cfg.undo_denom_floor,
+            grad_reduce=cfg.grad_reduce,
             interpret=backend == "pallas_interpret",
         )
     else:

@@ -84,6 +84,7 @@ def make_train_step(
                 raster_cfg=cfg.raster,
                 white_background=cfg.white_background,
                 backend=backend,
+                active=active,
             )
             loss, parts = losses_mod.total_loss(
                 out.color, take("target_rgb"), out.depth, take("target_depth"),
