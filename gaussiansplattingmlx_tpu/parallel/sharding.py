@@ -71,6 +71,7 @@ def make_dp_train_step(
     total_iterations: int,
     mesh: Mesh,
     backend: Optional[str] = None,
+    batched_views: bool = False,
 ) -> Callable:
     """Data-parallel train step over (state, views, view_idx).
 
@@ -79,6 +80,13 @@ def make_dp_train_step(
     sharded over "data" selecting each device's camera for this step.  Params
     are replicated, per-view gradients pmean'd over ICI, and the Adam update
     is replicated (identical on all devices after the collective).
+
+    With `batched_views=True` the step instead takes (state, view_batch) where
+    `view_batch` is a per-step dict of [data_parallel, ...] arrays sharded
+    over "data" — each device holds ONLY its own camera's tensors.  This is
+    the multi-host form (parallel/multihost.py): each process materializes
+    just its addressable shard of the batch, so camera targets never cross
+    DCN (only gradients do).  Semantics are identical to the replicated form.
 
     Returns (new_state, metrics, images) where images is the [data_parallel,
     H, W, 3] batch of rendered full views (for previews).
@@ -95,7 +103,11 @@ def make_dp_train_step(
     )
 
     def per_device(state: TrainState, views: Dict, view_idx):
-        take = lambda k: views[k][view_idx[0]]
+        if batched_views:
+            # views is this device's [1, ...] slice of the per-step batch.
+            take = lambda k: views[k][0]
+        else:
+            take = lambda k: views[k][view_idx[0]]
         active = gaussians.active_mask(state.params, state.num_active)
         band = jax.lax.axis_index("tile") * band_h
 
@@ -200,10 +212,19 @@ def make_dp_train_step(
     shard_fn = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(), P(), P("data")),
+        in_specs=(P(), P("data") if batched_views else P(), P("data")),
         out_specs=(P(), P(), P("data")),
         check_vma=False,
     )
+    if batched_views:
+        # view_idx is vestigial in batched mode; present (zeros) so the two
+        # forms share one signature, but each device reads views[k][0].
+        def batched(state, view_batch):
+            ndata = mesh.shape["data"]
+            idx = jnp.zeros((ndata,), jnp.int32)
+            return shard_fn(state, view_batch, idx)
+
+        return jax.jit(batched, donate_argnums=(0,))
     return jax.jit(shard_fn, donate_argnums=(0,))
 
 

@@ -134,8 +134,8 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
 
     # ---- ground-truth scene ------------------------------------------------
-    n = args.gt_gaussians
-    pts, cols = _surface_points(rng, n)
+    pts, cols = _surface_points(rng, args.gt_gaussians)
+    n = len(pts)  # may be < gt_gaussians when the scene runs out of surfaces
     gt_params, _ = gaussians.create_from_points(
         pts, cols, sh_degree=args.sh_degree, capacity=n
     )

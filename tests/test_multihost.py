@@ -1,0 +1,127 @@
+"""Multi-host layer tests (single-process pieces on the 8-virtual-device CPU
+mesh, plus a real 2-process distributed smoke run via the launcher).
+
+The reference has no distribution layer (SURVEY §2.4); correctness target is
+equivalence with the single-process sharded step."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussiansplattingmlx_tpu.data.dataset import TrainData
+from gaussiansplattingmlx_tpu.parallel import multihost, sharding
+from gaussiansplattingmlx_tpu.train.trainer import stack_views
+
+from test_sharding import build_state, make_cfg, scene  # noqa: F401
+from test_train_smoke import W, H
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_local_view_range_partition():
+    # 4 processes x 10 views: every view covered, equal per-process counts.
+    parts = [multihost.local_view_range(10, pi, 4) for pi in range(4)]
+    sizes = {len(p) for p in parts}
+    assert sizes == {3}  # ceil(10/4), wrap-padded
+    covered = set()
+    for p in parts:
+        covered |= set(int(v) for v in p)
+    assert covered == set(range(10))
+
+
+def test_local_view_range_single_process():
+    ids = multihost.local_view_range(7, 0, 1)
+    assert list(ids) == list(range(7))
+
+
+def test_make_global_view_batch_sharding():
+    mesh = sharding.make_mesh(data_parallel=8, tile_parallel=1)
+    local = {
+        "a": np.arange(8 * 3, dtype=np.float32).reshape(8, 3),
+        "b": np.arange(8, dtype=np.float32),
+    }
+    out = multihost.make_global_view_batch(local, mesh)
+    for k, v in out.items():
+        assert v.shape == local[k].shape
+        np.testing.assert_array_equal(np.asarray(v), local[k])
+        spec = v.sharding.spec
+        assert spec[0] == "data"
+
+
+def test_batched_step_matches_idx_step(scene):  # noqa: F811
+    """The multi-host batched step == the replicated-views + idx step."""
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    cfg = make_cfg()
+    views = stack_views(data)
+    mesh = sharding.make_mesh(data_parallel=8, tile_parallel=1)
+
+    idx_step = sharding.make_dp_train_step(cfg, W, H, 0, cfg.iterations, mesh)
+    bat_step = sharding.make_dp_train_step(
+        cfg, W, H, 0, cfg.iterations, mesh, batched_views=True
+    )
+
+    chosen = np.array([3, 1, 4, 1, 5, 2, 6, 0])
+    s1 = sharding.replicate_state(build_state(pts, cols), mesh)
+    out1, m1, _ = idx_step(
+        s1, sharding.replicate_views(views, mesh),
+        sharding.shard_view_idx(chosen, mesh),
+    )
+
+    # Assemble the same per-step batch the multi-host path would build from
+    # host-local stores (single process: the full store is local).
+    local_ids = multihost.local_view_range(len(cams), 0, 1)
+    views_np = {k: np.asarray(v) for k, v in views.items()}
+    local_batch = multihost.select_local_batch(views_np, local_ids, chosen)
+    batch = multihost.make_global_view_batch(local_batch, mesh)
+    s2 = sharding.replicate_state(build_state(pts, cols), mesh)
+    out2, m2, _ = bat_step(s2, batch)
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1.params.xyz), np.asarray(out2.params.xyz),
+        rtol=1e-6, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1.grad_accum), np.asarray(out2.grad_accum),
+        rtol=1e-5, atol=1e-10,
+    )
+
+
+def test_sample_local_view_ids_stay_local():
+    rng = np.random.default_rng(0)
+    local = np.array([2, 5, 7])
+    draws = multihost.sample_local_view_ids(rng, local, 64)
+    assert set(int(d) for d in draws) <= {2, 5, 7}
+
+
+@pytest.mark.slow
+def test_launch_multihost_smoke():
+    """Real 2-process x 2-device distributed cluster over loopback: the
+    jax.distributed + make_array_from_process_local_data path a pod uses."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    proc = subprocess.run(
+        [sys.executable, "scripts/launch_multihost.py",
+         "--num-processes", "2", "--devices-per-process", "2",
+         "--iters", "3", "--size", "32", "--views", "4", "--points", "32"],
+        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    result_lines = [
+        line for line in proc.stdout.splitlines() if line.startswith("RESULT ")
+    ]
+    assert result_lines, proc.stdout + proc.stderr
+    out = json.loads(result_lines[0][len("RESULT "):])
+    assert out["processes"] == 2
+    assert out["devices"] == 4
+    assert all(np.isfinite(v) for v in out["losses"])
