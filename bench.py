@@ -36,7 +36,10 @@ def main():
     W = H = 800
     N = 100_000
     SH_DEGREE = 3
-    cfg = RasterizerConfig(max_pairs=2**20, max_tiles_per_gaussian=32)
+    # 2M pair budget: binning is exact (no per-gaussian truncation), and the
+    # workload stats in the JSON line prove the budget is not clipping the
+    # scene (overflow_pairs == 0 at the achieved num_pairs).
+    cfg = RasterizerConfig(max_pairs=2**21)
 
     rng = np.random.default_rng(0)
     # Lego-like scene: points in a unit-ish volume, camera orbiting at r=4,
@@ -69,7 +72,7 @@ def main():
         def loss_fn(ptuple):
             pp = gaussians.GaussianParams.from_tuple(ptuple)
             means, shs, opacity, scales, rots = gaussians.activations(pp)
-            out, _ = render(
+            out, aux = render(
                 means, shs, opacity, scales, rots,
                 jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
                 jnp.asarray(t["camera_center"]),
@@ -79,22 +82,26 @@ def main():
             loss, _ = losses_mod.total_loss(
                 out.color, target, out.depth, zeros_hw, zeros_hw
             )
-            return loss
+            stats = (aux.num_pairs, aux.overflow_pairs,
+                     aux.tile_depth_mean, aux.tile_depth_max)
+            return loss, jax.lax.stop_gradient(stats)
 
-        return jax.value_and_grad(loss_fn)(ptuple)
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(ptuple)
+        return loss, stats, grads
 
     args = params.as_tuple()
     # Warmup/compile.
-    loss, grads = train_like_step(args)
+    loss, stats, grads = train_like_step(args)
     jax.block_until_ready((loss, grads))
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        loss, grads = train_like_step(args)
+        loss, stats, grads = train_like_step(args)
     jax.block_until_ready((loss, grads))
     dt = (time.perf_counter() - t0) / iters
 
+    num_pairs, ovfl_pairs, depth_mean, depth_max = (float(s) for s in stats)
     pixels_per_s = W * H / dt
     print(
         json.dumps(
@@ -103,6 +110,13 @@ def main():
                 "value": round(pixels_per_s),
                 "unit": "pixels/s",
                 "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 3),
+                # Workload honesty (BASELINE.md): the compositing load behind
+                # the headline number — pairs actually binned, budget clipping
+                # (must be 0), and the per-tile depth distribution.
+                "num_pairs": round(num_pairs),
+                "overflow_pairs": round(ovfl_pairs),
+                "tile_depth_mean": round(depth_mean, 1),
+                "tile_depth_max": round(depth_max),
             }
         )
     )

@@ -30,24 +30,23 @@ class RasterizerConfig:
     # scripts/kernel_tune.py.
     tile_h: int = 16
     tile_w: int = 16
-    # Max tiles a single Gaussian may be binned into (static per-Gaussian
-    # expansion).  Gaussians touching more tiles keep the first
-    # `max_tiles_per_gaussian` tiles in row-major order; an overflow counter
-    # is reported so capacity can be raised.  The [N, R] candidate expansion
-    # is sorted every step, so R trades footprint coverage against sort cost
-    # at high N (32 covers a ~90 px radius at 16 px tiles).
+    # Retained for config compatibility; binning now duplicates every
+    # footprint exactly (cumsum + searchsorted over the pair axis,
+    # ops/binning.py) so no per-gaussian cap exists.  The value is ignored.
     max_tiles_per_gaussian: int = 32
-    # Global (gaussian, tile) pair budget for the depth sort.
+    # Global (gaussian, tile) pair budget for the depth sort — the ONE
+    # truncating capacity.  Binning reports overflow_pairs when the exact
+    # pair total exceeds it.
     max_pairs: int = 2 ** 20  # 1M pairs
     # Overflow is a handled condition, not just a counter: when the Trainer
-    # observes overflow_pairs / overflow_gaussians > 0 it warns loudly and
-    # doubles the relevant capacity (one recompile), up to these limits.  The
-    # reference never truncates — its pair list is exact at dynamic cost
-    # (GaussianRenderer.swift:398-409); static shapes + auto-growth is the
-    # jit-compatible equivalent.
+    # observes overflow_pairs > 0 it warns loudly and doubles max_pairs (one
+    # recompile), up to the limit.  The reference never truncates — its pair
+    # list is exact at dynamic cost (GaussianRenderer.swift:398-409); static
+    # shapes + exact duplication + auto-growth is the jit-compatible
+    # equivalent.
     auto_grow: bool = True
-    max_pairs_limit: int = 2 ** 22
-    max_tiles_limit: int = 64  # R doubles cost the [N, R] sort; cap growth
+    max_pairs_limit: int = 2 ** 23
+    max_tiles_limit: int = 64  # unused (exact binning); kept for compat
     # Gaussian records processed per inner chunk of the Pallas kernel.
     chunk_size: int = 128
     # Per-Gaussian gradient reduction: "segsum" (sort + MXU segment-sum

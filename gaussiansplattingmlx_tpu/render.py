@@ -26,6 +26,8 @@ class RenderAux(NamedTuple):
     overflow_gaussians: jax.Array
     overflow_pairs: jax.Array
     means2d: jax.Array  # [N, 2] (for positional-gradient densification stats)
+    tile_depth_mean: jax.Array  # [] mean pairs per tile (workload honesty)
+    tile_depth_max: jax.Array  # [] max pairs in any tile
 
 
 def resolve_backend(backend: str) -> str:
@@ -170,5 +172,7 @@ def render(
         overflow_gaussians=b.overflow_gaussians,
         overflow_pairs=b.overflow_pairs,
         means2d=p.means2d,
+        tile_depth_mean=jnp.mean(b.tile_count.astype(jnp.float32)),
+        tile_depth_max=jnp.max(b.tile_count),
     )
     return out, aux

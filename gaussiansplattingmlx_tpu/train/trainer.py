@@ -293,40 +293,26 @@ class Trainer:
         r = self.cfg.raster
         if not r.auto_grow:
             return
-        new = r
+        # Binning duplicates footprints exactly (ops/binning.py); the only
+        # truncating capacity left is the global pair budget.
         if metrics.get("overflow_pairs", 0) > 0 and r.max_pairs < r.max_pairs_limit:
             new = dataclasses.replace(
-                new, max_pairs=min(r.max_pairs * 2, r.max_pairs_limit)
+                r, max_pairs=min(r.max_pairs * 2, r.max_pairs_limit)
             )
-        if (
-            metrics.get("overflow_gaussians", 0) > 0
-            and r.max_tiles_per_gaussian < r.max_tiles_limit
-        ):
-            new = dataclasses.replace(
-                new,
-                max_tiles_per_gaussian=min(
-                    r.max_tiles_per_gaussian * 2, r.max_tiles_limit
-                ),
-            )
-        if new is not r:
             print(
-                f"WARNING: binning overflow at step {int(self.state.step)} "
+                f"WARNING: pair-budget overflow at step {int(self.state.step)} "
                 f"(pairs dropped {int(metrics.get('overflow_pairs', 0))}, "
-                f"gaussians truncated {int(metrics.get('overflow_gaussians', 0))}); "
-                f"growing max_pairs {r.max_pairs}->{new.max_pairs}, "
-                f"R {r.max_tiles_per_gaussian}->{new.max_tiles_per_gaussian} "
-                f"(recompile)",
+                f"gaussians affected "
+                f"{int(metrics.get('overflow_gaussians', 0))}); "
+                f"growing max_pairs {r.max_pairs}->{new.max_pairs} (recompile)",
                 file=sys.stderr, flush=True,
             )
             self.cfg = dataclasses.replace(self.cfg, raster=new)
             self._build_train_step()
-        elif metrics.get("overflow_pairs", 0) > 0 or metrics.get(
-            "overflow_gaussians", 0
-        ) > 0:
+        elif metrics.get("overflow_pairs", 0) > 0:
             print(
-                f"WARNING: binning overflow at step {int(self.state.step)} "
-                f"but capacity limits reached "
-                f"(max_pairs={r.max_pairs}, R={r.max_tiles_per_gaussian}); "
+                f"WARNING: pair-budget overflow at step {int(self.state.step)} "
+                f"but max_pairs_limit reached (max_pairs={r.max_pairs}); "
                 f"output is truncated — raise raster limits",
                 file=sys.stderr, flush=True,
             )

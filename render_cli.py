@@ -33,6 +33,15 @@ def parse_args(argv=None):
     p.add_argument("--max-pairs", type=int, default=None)
     p.add_argument("--tile", type=int, default=None)
     p.add_argument("--depth", action="store_true", help="also save depth maps")
+    p.add_argument("--video", default=None,
+                   help="write an animated turntable (GIF) to this path; "
+                        "--orbit sets the frame count")
+    p.add_argument("--video-fps", type=int, default=30)
+    p.add_argument("--bench-frames", type=int, default=0,
+                   help="after rendering, loop this many frames back-to-back "
+                        "and report sustained rendered frames/s (the "
+                        "reference viewer's interactive-rate metric, "
+                        "Metal/MetalGaussianRenderer.swift:262-299)")
     return p.parse_args(argv)
 
 
@@ -104,24 +113,57 @@ def main(argv=None):
         )
         return out.color, out.depth
 
-    for i in range(args.orbit):
+    def cam_tensors(i, n_frames):
         cam = Camera.from_c2w(
             args.width, args.height, focal, focal,
-            orbit_c2w(2 * np.pi * i / args.orbit, args.radius, args.elevation),
+            orbit_c2w(2 * np.pi * i / n_frames, args.radius, args.elevation),
         )
         t = cam.tensors()
-        color, depth = render_view(
+        return (
             jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
             jnp.asarray(t["camera_center"]),
             t["focal_x"], t["focal_y"], t["fov_x"], t["fov_y"],
         )
+
+    frames = []
+    for i in range(args.orbit):
+        color, depth = render_view(*cam_tensors(i, args.orbit))
         img = np.clip(np.asarray(color) * 255.0, 0, 255).astype(np.uint8)
+        frames.append(img)
         Image.fromarray(img).save(out_dir / f"render_{i:03d}.png")
         if args.depth:
             d = np.asarray(depth)
             d = (d / max(d.max(), 1e-6) * 255.0).astype(np.uint8)
             Image.fromarray(d, mode="L").save(out_dir / f"depth_{i:03d}.png")
         print(f"wrote render_{i:03d}.png")
+
+    if args.video:
+        # Turntable export — the offline counterpart of the reference's
+        # interactive orbit viewer (UI/RenderView.swift:99-172).
+        pils = [Image.fromarray(f) for f in frames]
+        pils[0].save(
+            args.video, save_all=True, append_images=pils[1:],
+            duration=max(1, round(1000 / args.video_fps)), loop=0,
+        )
+        print(f"wrote {args.video} ({len(pils)} frames @ {args.video_fps} fps)")
+
+    if args.bench_frames > 0:
+        # Sustained inference throughput: pre-build the camera tensors, then
+        # time device-bound rendering only (one host sync at the end).
+        import time
+
+        cams = [cam_tensors(i, args.bench_frames)
+                for i in range(args.bench_frames)]
+        color, _ = render_view(*cams[0])  # warm cache for this shape
+        jax.block_until_ready(color)
+        t0 = time.perf_counter()
+        outs = [render_view(*c)[0] for c in cams]
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        fps = args.bench_frames / dt
+        print(f"rendered {args.bench_frames} frames at "
+              f"{args.width}x{args.height}: {fps:.1f} frames/s "
+              f"({1e3 * dt / args.bench_frames:.1f} ms/frame)")
 
 
 if __name__ == "__main__":

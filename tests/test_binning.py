@@ -83,16 +83,19 @@ def test_depth_ordering_within_tile(rng):
     np.testing.assert_array_equal(idx, [1, 2, 0])
 
 
-def test_footprint_cap_overflow_reported(rng):
-    # One gaussian covering the whole 4x4 tile grid with R=4 -> truncated.
+def test_huge_footprint_is_exact(rng):
+    # One gaussian covering the whole 4x4 tile grid: binning is exact — the
+    # (ignored) R argument must not truncate anything.
     W = H = 64
     rect_min = np.zeros((1, 2), np.float32)
     rect_max = np.full((1, 2), 63.0, np.float32)
     radii = np.ones(1, np.float32)
     depths = np.ones(1, np.float32)
     out = run_binning(rect_min, rect_max, radii, depths, W, H, 16, 16, R=4)
-    assert int(out.overflow_gaussians) == 1
-    assert int(out.num_pairs) == 4
+    assert int(out.overflow_gaussians) == 0
+    assert int(out.num_pairs) == 16
+    kept = np.asarray(out.sorted_tile_id)[np.asarray(out.pair_valid)]
+    np.testing.assert_array_equal(np.sort(kept), np.arange(16))
 
 
 def test_pair_budget_overflow(rng):
@@ -106,20 +109,49 @@ def test_pair_budget_overflow(rng):
     out = run_binning(rect_min, rect_max, radii, depths, W, H, 16, 16, R=8, max_pairs=16)
     assert int(out.num_pairs) == 16
     assert int(out.overflow_pairs) == 40 - 16
+    # 6 gaussians' blocks extend past the 16-pair budget (gaussian-major
+    # emission: 4 pairs each -> gaussians 4..9 lose pairs).
+    assert int(out.overflow_gaussians) == 6
 
 
-def test_truncation_keeps_row_major_prefix(rng):
-    """A footprint larger than R keeps exactly the first R tiles in row-major
-    order (the documented truncation semantics overflow handling relies on)."""
+def test_budget_keeps_gaussian_major_prefix(rng):
+    """Pairs beyond max_pairs drop in gaussian-major emission order: the kept
+    set is exactly the first `max_pairs` (gaussian, row-major-tile) pairs."""
     W = H = 128
-    # One gaussian covering the full 8x8 tile grid (64 tiles), R=8.
+    # One gaussian covering the full 8x8 tile grid (64 tiles), budget 8:
+    # the first 8 row-major tiles (top row) survive.
     rect_min = np.array([[0.0, 0.0]], np.float32)
     rect_max = np.array([[127.0, 127.0]], np.float32)
     out = run_binning(
         rect_min, rect_max, np.ones(1, np.float32), np.ones(1, np.float32),
-        W, H, 16, 16, R=8, max_pairs=256,
+        W, H, 16, 16, R=8, max_pairs=8,
     )
     assert int(out.overflow_gaussians) == 1
     assert int(out.num_pairs) == 8
     kept = np.asarray(out.sorted_tile_id)[np.asarray(out.pair_valid)]
     np.testing.assert_array_equal(np.sort(kept), np.arange(8))
+
+
+def test_exactness_at_scale_random(rng):
+    """Randomized exactness: mixed footprint sizes (including several much
+    larger than the old per-gaussian cap) reproduce brute force bit-exactly."""
+    W = H = 256
+    tw = th = 16
+    n = 300
+    means = rng.uniform(0, 256, size=(n, 2)).astype(np.float32)
+    radius = rng.uniform(1, 120, size=n).astype(np.float32)  # up to whole grid
+    radius[::5] = 0.0
+    depths = rng.uniform(0.5, 10, size=n).astype(np.float32)
+    rect_min = np.maximum(means - radius[:, None], 0.0)
+    rect_max = np.minimum(means + radius[:, None], np.array([W - 1, H - 1], np.float32))
+    out = run_binning(
+        rect_min, rect_max, radius, depths, W, H, tw, th, R=4, max_pairs=2**15
+    )
+    expected, _ = brute_force_pairs(rect_min, rect_max, radius, depths, W, H, tw, th)
+    assert int(out.num_pairs) == len(expected)
+    assert int(out.overflow_pairs) == 0
+    assert int(out.overflow_gaussians) == 0
+    got_tiles = np.asarray(out.sorted_tile_id)[: len(expected)]
+    got_idx = np.asarray(out.sorted_gauss_idx)[: len(expected)]
+    np.testing.assert_array_equal(got_tiles, [p[0] for p in expected])
+    np.testing.assert_array_equal(got_idx, [p[2] for p in expected])

@@ -205,3 +205,75 @@ def test_native_parser_matches_python(tmp_path, rng):
     # And the high-level loader (which now uses the native path) still works.
     data, pcd = colmap.load_colmap(tmp_path)
     assert data.num_views == 3 and pcd.size == 50
+
+
+# ---------------------------------------------------------------------------
+# Demo fetchers (data/fetch.py) — offline: network is monkeypatched out.
+# ---------------------------------------------------------------------------
+
+
+def _zip_bytes(entries):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, payload in entries.items():
+            zf.writestr(name, payload)
+    return buf.getvalue()
+
+
+def test_fetch_skip_if_present(tmp_path, monkeypatch):
+    """Probe files short-circuit the download exactly like the reference
+    (ColmapDataLoader.swift:546-550, BlenderDataLoader.swift:310-313)."""
+    from gaussiansplattingmlx_tpu.data import fetch
+
+    def boom(url, timeout):
+        raise AssertionError("network touched despite probe file")
+
+    monkeypatch.setattr(fetch, "_download_zip", boom)
+    probe = tmp_path / "sparse" / "0" / "cameras.bin"
+    probe.parent.mkdir(parents=True)
+    probe.write_bytes(b"")
+    assert fetch.fetch_lego_colmap(tmp_path) == tmp_path
+
+    (tmp_path / "info.json").write_text("{}")
+    assert fetch.fetch_chair_blender(tmp_path) == tmp_path
+
+
+def test_fetch_extracts_zip(tmp_path, monkeypatch):
+    from gaussiansplattingmlx_tpu.data import fetch
+
+    payload = _zip_bytes({"sparse/0/cameras.bin": b"demo", "images/a.png": b"x"})
+    urls = []
+    monkeypatch.setattr(
+        fetch, "_download_zip", lambda url, timeout: urls.append(url) or payload
+    )
+    root = fetch.fetch_lego_colmap(tmp_path / "lego")
+    assert urls == [fetch.LEGO_COLMAP_URL]
+    assert (root / "sparse" / "0" / "cameras.bin").read_bytes() == b"demo"
+    # Second call: probe file now present, no new download.
+    fetch.fetch_lego_colmap(root)
+    assert len(urls) == 1
+
+
+def test_fetch_rejects_path_traversal(tmp_path, monkeypatch):
+    import pytest
+
+    from gaussiansplattingmlx_tpu.data import fetch
+
+    evil = _zip_bytes({"../escape.txt": b"nope"})
+    monkeypatch.setattr(fetch, "_download_zip", lambda url, timeout: evil)
+    with pytest.raises(fetch.FetchError, match="escapes"):
+        fetch.fetch_chair_blender(tmp_path / "chair")
+
+
+def test_fetch_no_network_error_message(tmp_path):
+    """Without network the fetcher fails fast with a pointed message (no
+    hang): unroutable address + tiny timeout."""
+    import pytest
+
+    from gaussiansplattingmlx_tpu.data import fetch
+
+    with pytest.raises(fetch.FetchError, match="could not download"):
+        fetch._download_zip("http://10.255.255.1/nope.zip", timeout=0.2)

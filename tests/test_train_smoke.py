@@ -179,7 +179,7 @@ def test_overflow_auto_grow(scene, capsys):
     assert trainer.cfg.raster.max_pairs > 128  # grew
     assert log[-1]["overflow_pairs"] == 0  # and resolved
     err = capsys.readouterr().err
-    assert "WARNING: binning overflow" in err
+    assert "WARNING: pair-budget overflow" in err
 
 
 def test_checkpoint_roundtrip(scene, tmp_path):

@@ -25,6 +25,10 @@ def parse_args(argv=None):
     p.add_argument("--dataset", choices=["colmap", "blender", "nerfstudio"],
                    required=True)
     p.add_argument("--root", required=True, help="dataset root directory")
+    p.add_argument("--fetch-demo", choices=["lego", "chair"], default=None,
+                   help="download this demo scene into --root first (same "
+                        "sources the reference app bootstraps from; needs "
+                        "network access)")
     p.add_argument("--output", default="outputs/run", help="output directory")
     p.add_argument("--iterations", type=int, default=30000)
     p.add_argument("--resize-factor", type=float, default=0.5)
@@ -82,6 +86,16 @@ def main(argv=None):
         "blender": blender.load_blender,
         "nerfstudio": nerfstudio.load_nerfstudio,
     }
+    if args.fetch_demo:
+        from gaussiansplattingmlx_tpu.data import fetch
+
+        fmt, fetcher = fetch.DEMOS[args.fetch_demo]
+        if fmt != args.dataset:
+            sys.exit(f"--fetch-demo {args.fetch_demo} is a {fmt} scene; "
+                     f"pass --dataset {fmt}")
+        print(f"fetching demo scene {args.fetch_demo!r} into {args.root} ...",
+              flush=True)
+        fetcher(args.root)
     print(f"loading {args.dataset} dataset from {args.root} ...", flush=True)
     data, pcd = loaders[args.dataset](
         args.root,
