@@ -123,13 +123,30 @@ def bin_gaussians(
     gid = jnp.searchsorted(cum, p, side="right", method="sort").astype(jnp.int32)
     gid = jnp.minimum(gid, n - 1)
     valid = p < num_pairs
-    block_start = cum[gid] - footprint[gid]
-    local = p - block_start
-    safe_rw = jnp.maximum(rw[gid], 1)
-    ty = tmin_y[gid] + local // safe_rw
-    tx = tmin_x[gid] + local % safe_rw
+    # One 8-wide row gather for every per-gaussian quantity: TPU gathers cost
+    # ~6.5 ns per INDEX almost independently of row width, so six separate
+    # [max_pairs] per-component gathers run ~6x slower than one stacked-table
+    # row gather (measured 102 ms vs 13 ms at 2M pairs / 100k gaussians).
+    table = jnp.stack(
+        [
+            tmin_x,
+            tmin_y,
+            jnp.maximum(rw, 1),
+            cum - footprint,  # block start
+            jax.lax.bitcast_convert_type(depths.astype(jnp.float32), jnp.int32),
+            jnp.zeros_like(tmin_x),
+            jnp.zeros_like(tmin_x),
+            jnp.zeros_like(tmin_x),
+        ],
+        axis=1,
+    )  # [n, 8] int32
+    g = table[gid]
+    local = p - g[:, 3]
+    ty = g[:, 1] + local // g[:, 2]
+    tx = g[:, 0] + local % g[:, 2]
+    depth_g = jax.lax.bitcast_convert_type(g[:, 4], jnp.float32)
     tile_ids = jnp.where(valid, ty * grid_w + tx, num_tiles)
-    depth_keys = jnp.where(valid, depths[gid], jnp.inf)
+    depth_keys = jnp.where(valid, depth_g, jnp.inf)
     gauss_ids = jnp.where(valid, gid, 0)
 
     # Stable lexicographic sort on (tile, depth); stability preserves gaussian

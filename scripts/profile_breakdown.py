@@ -90,8 +90,12 @@ def main():
 
     @jax.jit
     def stage_core_inputs(packed, b):
+        # The REAL input-prep path: chunk-level owner table + row gather,
+        # exactly as rasterize_pallas builds it (per-SLOT owner computation
+        # lowers to serial searchsorted loops ~100x slower — measured; keep
+        # this calling the module code so the profile can't drift from it).
         from gaussiansplattingmlx_tpu.ops.rasterize_pallas import (
-            REC_DIM, RasterStatic, _raster_core,
+            GatherStatic, REC_DIM, _gather_records,
         )
         grid_w = -(-W // cfg.tile_w)
         grid_h = -(-H // cfg.tile_h)
@@ -101,17 +105,26 @@ def main():
         nchunks = -(-b.tile_count // Cc)
         sizes = nchunks * Cc
         astart = (jnp.cumsum(sizes) - sizes).astype(jnp.int32)
-        slot = jnp.arange(num_aligned, dtype=jnp.int32)
-        owner = jnp.clip(jnp.searchsorted(astart, slot, side="right").astype(jnp.int32) - 1, 0, num_tiles - 1)
-        rank = slot - astart[owner]
-        within = rank < b.tile_count[owner]
-        src = jnp.where(within, b.tile_start[owner] + rank, 0)
+        nchunks_total = num_aligned // Cc
+        chunk_first = jnp.arange(nchunks_total, dtype=jnp.int32) * Cc
+        owner_c = jnp.clip(
+            jnp.searchsorted(astart, chunk_first, side="right").astype(jnp.int32) - 1,
+            0, num_tiles - 1,
+        )
+        slot = jnp.arange(num_aligned, dtype=jnp.int32).reshape(nchunks_total, Cc)
+        rank = slot - astart[owner_c][:, None]
+        within = rank < b.tile_count[owner_c][:, None]
+        src = jnp.where(within, b.tile_start[owner_c][:, None] + rank, 0).reshape(-1)
+        within = within.reshape(-1)
         aligned_idx = jnp.where(within, b.sorted_gauss_idx[src], 0)
         perm = jnp.asarray([0,1,2,3,4,5,6,7,8,10,9], dtype=jnp.int32)
         rec = packed[:, perm]
         rec = jnp.concatenate([rec, jnp.zeros((rec.shape[0], REC_DIM-11), rec.dtype)], axis=1)
-        gathered = jnp.where(within[:, None], rec[aligned_idx], 0.0)
-        return gathered.T, astart
+        gst = GatherStatic(
+            num_rec=rec.shape[0], num_aligned=num_aligned, chunk=Cc,
+            block_b=128, grad_reduce="segsum", interpret=False,
+        )
+        return _gather_records(gst, rec, aligned_idx, within), astart
 
     records_cm, astart_real = stage_core_inputs(packed, b)
 

@@ -148,7 +148,9 @@ def main():
         ),
     )
 
-    gt_raster = RasterizerConfig(max_pairs=2**21, max_tiles_per_gaussian=32)
+    # One-time GT renders: budget far above the exact pair total so ground
+    # truth is provably unclipped (overflow asserted below).
+    gt_raster = RasterizerConfig(max_pairs=2**22)
     cams = []
     for i in range(args.views):
         ang = 2 * np.pi * i / args.views
@@ -171,24 +173,30 @@ def main():
 
     @jax.jit
     def render_gt(view, proj, center, fovx, fovy, fx, fy):
-        out, _ = render(
+        out, aux = render(
             means, shs, opacity, scales, rots,
             view, proj, center, fovx, fovy, fx, fy,
             W, H, args.sh_degree, raster_cfg=gt_raster, backend=args.backend,
             white_background=True,
         )
-        return out.color
+        return out.color, aux.num_pairs, aux.overflow_pairs
 
     print(f"rendering {args.views} ground-truth views at {W}x{H} ...", flush=True)
     t0 = time.time()
     images = []
+    gt_pairs = []
     for c in cams:
         t = c.tensors()
-        images.append(np.asarray(render_gt(
+        color, npair, ovfl = render_gt(
             jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
             jnp.asarray(t["camera_center"]),
             t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
-        )))
+        )
+        assert int(ovfl) == 0, f"GT render clipped: overflow {int(ovfl)} pairs"
+        gt_pairs.append(int(npair))
+        images.append(np.asarray(color))
+    print(f"GT exact pairs/view: min {min(gt_pairs)} max {max(gt_pairs)}",
+          flush=True)
     images = np.stack(images).astype(np.float32)
     print(f"rendered in {time.time()-t0:.1f}s "
           f"(mean {images.mean():.3f}, std {images.std():.3f})", flush=True)
@@ -217,7 +225,7 @@ def main():
             sh_degree=args.sh_degree, initial_capacity=2**15,
             max_gaussians=1_000_000,
         ),
-        raster=RasterizerConfig(max_pairs=2**20, max_tiles_per_gaussian=32),
+        raster=RasterizerConfig(max_pairs=2**21),
         densify=DensifyConfig(
             interval=100, from_iter=500, until_iter=args.densify_until,
             grad_threshold=args.grad_threshold,
