@@ -164,7 +164,16 @@ def make_dp_train_step(
         grad_norm = jax.lax.pmean(
             jnp.sqrt(jnp.sum(grads_view.xyz * grads_view.xyz, axis=1)), "data"
         )
-        grads = jax.lax.pmean(grads_view, "data")
+        # Per-LEAF all-reduces (six independent collectives, not one fused
+        # tuple): SH/opacity cotangents are ready after the rasterizer
+        # backward, BEFORE the projection backward that produces
+        # xyz/scale/rotation grads — separate collectives give XLA's
+        # latency-hiding scheduler the freedom to overlap the early ones
+        # with the remaining backward compute.  At 3DGS scale the win is
+        # bounded: ~24 MB of grads over ICI is ~0.25 ms against a ~160 ms
+        # step (docs/DESIGN.md "Gradient collectives"), so correctness of
+        # the schedule, not bandwidth, is what matters here.
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), grads_view)
         loss = jax.lax.pmean(loss, "data")
         parts = jax.lax.pmean(parts, "data")
 
