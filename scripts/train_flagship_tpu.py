@@ -107,6 +107,10 @@ def main():
     ap.add_argument("--init-points", type=int, default=16384)
     ap.add_argument("--sh-degree", type=int, default=3)
     ap.add_argument("--densify-until", type=int, default=15000)
+    ap.add_argument("--checkpoint-interval", type=int, default=2500,
+                    help="dense checkpoints bound the rollback when the "
+                         "supervisor (scripts/supervise_train.py) restarts "
+                         "a hung run")
     ap.add_argument("--grad-threshold", type=float, default=2e-4)
     ap.add_argument("--backend", default=None)
     ap.add_argument("--resume", default="")
@@ -217,7 +221,7 @@ def main():
         log_interval=50,
         snapshot_interval=10000,
         preview_interval=2000,
-        checkpoint_interval=5000,
+        checkpoint_interval=args.checkpoint_interval,
         early_stop_loss=1e-7,
         white_background=True,
         output_dir=str(out_dir),

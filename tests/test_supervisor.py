@@ -1,0 +1,76 @@
+"""Failure-detecting supervisor (scripts/supervise_train.py).
+
+The hang mode this guards against is real: the TPU RPC layer wedged twice
+during the round-2 flagship campaign (client blocked on a futex forever,
+idle tunnel connection).  These tests exercise the detection/restart logic
+with fake trainers — no device needed.
+"""
+
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import importlib.util
+
+SUP = Path(__file__).parents[1] / "scripts" / "supervise_train.py"
+spec = importlib.util.spec_from_file_location("supervise_train", SUP)
+sup = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(sup)
+
+
+def test_newest_checkpoint(tmp_path):
+    assert sup.newest_checkpoint(tmp_path) is None
+    for step in (500, 10000, 2500):
+        (tmp_path / f"ckpt_{step}.npz").write_bytes(b"")
+    (tmp_path / "ckpt_bogus.npz").write_bytes(b"")
+    assert sup.newest_checkpoint(tmp_path).name == "ckpt_10000.npz"
+
+
+def test_run_once_clean_exit(tmp_path):
+    hb = tmp_path / "metrics.jsonl"
+    status, rc = sup.run_once(
+        [sys.executable, "-c", "print('ok')"], hb, stall_timeout=60
+    )
+    assert status == "ok" and rc == 0
+
+
+def test_run_once_crash(tmp_path):
+    hb = tmp_path / "metrics.jsonl"
+    status, rc = sup.run_once(
+        [sys.executable, "-c", "raise SystemExit(3)"], hb, stall_timeout=60
+    )
+    assert status == "crash" and rc == 3
+
+
+def test_run_once_detects_stall_and_kills_group(tmp_path):
+    """A 'trainer' that heartbeats once then wedges (sleeps forever) gets its
+    process group killed once the heartbeat goes stale."""
+    hb = tmp_path / "metrics.jsonl"
+    prog = (
+        "import time, pathlib, sys\n"
+        f"pathlib.Path({str(hb)!r}).write_text('beat')\n"
+        "time.sleep(3600)\n"
+    )
+    t0 = time.time()
+    status, rc = sup.run_once([sys.executable, "-c", prog], hb, stall_timeout=20)
+    assert status == "stall" and rc != 0
+    assert time.time() - t0 < 120  # killed promptly, not after an hour
+
+
+def test_pre_existing_heartbeat_does_not_trip(tmp_path):
+    """An old metrics.jsonl from the previous run must not count as a stale
+    heartbeat during the (heartbeat-less) startup phase."""
+    hb = tmp_path / "metrics.jsonl"
+    hb.write_text("old")
+    old = time.time() - 10_000
+    import os
+
+    os.utime(hb, (old, old))
+    status, rc = sup.run_once(
+        [sys.executable, "-c", "import time; time.sleep(20)"],
+        hb,
+        stall_timeout=40,
+    )
+    # process outlives several poll cycles without being killed, exits 0
+    assert status == "ok" and rc == 0
