@@ -37,10 +37,13 @@ stopGradient tile-slice builder (GaussianRenderer.swift:333-490).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from . import merge_pallas
 
 # Cumulative pair counts are clamped here so the int32 cumsum can never wrap
 # (monotonicity is what searchsorted needs); max_pairs is always far below it.
@@ -116,38 +119,64 @@ def bin_gaussians(
     )
 
     # Pair slot -> owning gaussian: first index whose inclusive cumsum
-    # exceeds the slot.  method="sort" lowers to one merge-sort over the
-    # concatenated arrays — the default scan-based binary search lowers to
-    # log2(N) serial gather rounds, ~10x slower on TPU at 1M+ queries.
+    # exceeds the slot.  Two paths:
+    #   * TPU: compact the positive-footprint gaussians (one cheap [n] sort)
+    #     so the cumsum is STRICTLY increasing, then the Pallas blocked-merge
+    #     kernel (ops/merge_pallas.py) — linear work, ~2 ms at 2M pairs.
+    #   * fallback (CPU / tiny budgets): searchsorted method="sort" (one
+    #     merge-sort, 36 ms at 2M on TPU; the default scan-based binary
+    #     search lowers to serial gather rounds, ~10x slower again).
+    slot_iota = jnp.arange(n, dtype=jnp.int32)
+    active_key = jnp.where(footprint > 0, 0, 1).astype(jnp.int32)
+    sort_key, keep_idx = jax.lax.sort(
+        (active_key, slot_iota), num_keys=1, is_stable=True
+    )
+    cum_keep = jnp.where(sort_key == 0, cum[keep_idx], _CUM_CLAMP)
+
     p = jnp.arange(max_pairs, dtype=jnp.int32)
-    gid = jnp.searchsorted(cum, p, side="right", method="sort").astype(jnp.int32)
-    gid = jnp.minimum(gid, n - 1)
+    merge_mode = os.environ.get("GSPLAT_MERGE", "auto")
+    use_pallas = (
+        merge_mode != "sort"
+        and max_pairs % merge_pallas.BLOCK == 0
+        and (merge_mode == "pallas" or jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        rank = merge_pallas.merge_ranks(cum_keep, max_pairs)
+    else:
+        rank = jnp.searchsorted(
+            cum_keep, p, side="right", method="sort"
+        ).astype(jnp.int32)
+    rank = jnp.minimum(rank, n - 1)
     valid = p < num_pairs
-    # One 8-wide row gather for every per-gaussian quantity: TPU gathers cost
-    # ~6.5 ns per INDEX almost independently of row width, so six separate
-    # [max_pairs] per-component gathers run ~6x slower than one stacked-table
-    # row gather (measured 102 ms vs 13 ms at 2M pairs / 100k gaussians).
+    # One 8-wide row gather for every per-pair per-gaussian quantity: TPU
+    # gathers cost ~6.5 ns per INDEX almost independently of row width, so
+    # six separate [max_pairs] per-component gathers run ~6x slower than one
+    # stacked-table row gather (measured 102 ms vs 13 ms at 2M pairs / 100k
+    # gaussians).  The table is pre-gathered into compacted order ([n] rows,
+    # cheap) with the ORIGINAL gaussian id in column 5.
     table = jnp.stack(
         [
-            tmin_x,
-            tmin_y,
-            jnp.maximum(rw, 1),
-            cum - footprint,  # block start
-            jax.lax.bitcast_convert_type(depths.astype(jnp.float32), jnp.int32),
-            jnp.zeros_like(tmin_x),
+            tmin_x[keep_idx],
+            tmin_y[keep_idx],
+            jnp.maximum(rw, 1)[keep_idx],
+            (cum - footprint)[keep_idx],  # block start
+            jax.lax.bitcast_convert_type(
+                depths.astype(jnp.float32), jnp.int32
+            )[keep_idx],
+            keep_idx,
             jnp.zeros_like(tmin_x),
             jnp.zeros_like(tmin_x),
         ],
         axis=1,
-    )  # [n, 8] int32
-    g = table[gid]
+    )  # [n, 8] int32, compacted order
+    g = table[rank]
     local = p - g[:, 3]
     ty = g[:, 1] + local // g[:, 2]
     tx = g[:, 0] + local % g[:, 2]
     depth_g = jax.lax.bitcast_convert_type(g[:, 4], jnp.float32)
     tile_ids = jnp.where(valid, ty * grid_w + tx, num_tiles)
     depth_keys = jnp.where(valid, depth_g, jnp.inf)
-    gauss_ids = jnp.where(valid, gid, 0)
+    gauss_ids = jnp.where(valid, g[:, 5], 0)
 
     # Stable lexicographic sort on (tile, depth); stability preserves gaussian
     # index order on depth ties like the reference's LSD radix sort (pairs

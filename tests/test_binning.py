@@ -155,3 +155,33 @@ def test_exactness_at_scale_random(rng):
     got_idx = np.asarray(out.sorted_gauss_idx)[: len(expected)]
     np.testing.assert_array_equal(got_tiles, [p[0] for p in expected])
     np.testing.assert_array_equal(got_idx, [p[2] for p in expected])
+
+
+def test_merge_ranks_matches_searchsorted(rng):
+    """Pallas blocked-merge (interpret mode) == searchsorted semantics on a
+    strictly-increasing cumsum, including window-boundary cases."""
+    from gaussiansplattingmlx_tpu.ops import merge_pallas
+
+    MP = 2 * merge_pallas.BLOCK
+    # strictly increasing, values straddling 0, block edges, and > MP
+    fp = rng.integers(1, 7, size=400).astype(np.int64)
+    cum = np.cumsum(fp)
+    got = np.asarray(
+        merge_pallas.merge_ranks(jnp.asarray(cum, jnp.int32), MP, interpret=True)
+    )
+    want = np.searchsorted(cum, np.arange(MP), side="right")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_merge_ranks_dense_boundaries(rng):
+    from gaussiansplattingmlx_tpu.ops import merge_pallas
+
+    MP = merge_pallas.BLOCK
+    # every footprint = 1: rank advances every slot; owners exactly fill
+    # the window bound (worst case for K)
+    cum = np.arange(1, MP + 200)
+    got = np.asarray(
+        merge_pallas.merge_ranks(jnp.asarray(cum, jnp.int32), MP, interpret=True)
+    )
+    want = np.searchsorted(cum, np.arange(MP), side="right")
+    np.testing.assert_array_equal(got, want)
