@@ -93,15 +93,19 @@ def main():
         return loss, stats, grads
 
     args = params.as_tuple()
-    # Warmup/compile.
+    # Warmup/compile.  NOTE: device-to-host fetches (float()) are the sync
+    # points — on tunneled backends jax.block_until_ready can return before
+    # execution finishes, silently timing the enqueue instead of the work.
+    # A fetch of the LAST iterate waits for everything queued before it
+    # (single device executes in order).
     loss, stats, grads = train_like_step(args)
-    jax.block_until_ready((loss, grads))
+    float(loss)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         loss, stats, grads = train_like_step(args)
-    jax.block_until_ready((loss, grads))
+    float(loss)
     dt = (time.perf_counter() - t0) / iters
 
     num_pairs, ovfl_pairs, depth_mean, depth_max = (float(s) for s in stats)

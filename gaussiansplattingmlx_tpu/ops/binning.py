@@ -171,8 +171,16 @@ def bin_gaussians(
     )  # [n, 8] int32, compacted order
     g = table[rank]
     local = p - g[:, 3]
-    ty = g[:, 1] + local // g[:, 2]
-    tx = g[:, 0] + local % g[:, 2]
+    # Integer div/mod has no VPU hardware path (expands to a long op
+    # sequence over the [max_pairs] axis); exact float division instead:
+    # local = q*rw + r with 0 <= r < rw  =>  (local+0.5)/rw lies strictly
+    # inside (q, q+1), so the floor is exactly q for any rw <= 2^22.
+    srw = g[:, 2]
+    q = jnp.floor(
+        (local.astype(jnp.float32) + 0.5) / srw.astype(jnp.float32)
+    ).astype(jnp.int32)
+    ty = g[:, 1] + q
+    tx = g[:, 0] + (local - q * srw)
     depth_g = jax.lax.bitcast_convert_type(g[:, 4], jnp.float32)
     tile_ids = jnp.where(valid, ty * grid_w + tx, num_tiles)
     depth_keys = jnp.where(valid, depth_g, jnp.inf)

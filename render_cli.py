@@ -155,10 +155,11 @@ def main(argv=None):
         cams = [cam_tensors(i, args.bench_frames)
                 for i in range(args.bench_frames)]
         color, _ = render_view(*cams[0])  # warm cache for this shape
-        jax.block_until_ready(color)
+        float(color[0, 0, 0])  # fetch = true sync (block_until_ready can lie
+        # on tunneled backends — it may return before execution finishes)
         t0 = time.perf_counter()
         outs = [render_view(*c)[0] for c in cams]
-        jax.block_until_ready(outs)
+        float(outs[-1][0, 0, 0])
         dt = time.perf_counter() - t0
         fps = args.bench_frames / dt
         print(f"rendered {args.bench_frames} frames at "

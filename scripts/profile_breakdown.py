@@ -16,13 +16,20 @@ import numpy as np
 
 def timeit(fn, *args, iters=10):
     import jax
+    import numpy as _np
+
+    def sync(r):
+        # Device-to-host fetch: on tunneled backends block_until_ready can
+        # return before execution finishes; a fetch of the last result waits
+        # for everything queued before it.
+        _np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
 
     r = fn(*args)
-    jax.block_until_ready(r)
+    sync(r)
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(*args)
-    jax.block_until_ready(r)
+    sync(r)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
