@@ -136,6 +136,10 @@ def main():
     rng = np.random.default_rng(0)
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
+    # Heartbeat for the supervisor (scripts/supervise_train.py): touched at
+    # each startup phase so the quiet GT-render/compile windows don't read
+    # as a stall.
+    (out_dir / "metrics.jsonl").touch()
 
     # ---- ground-truth scene ------------------------------------------------
     pts, cols = _surface_points(rng, args.gt_gaussians)
@@ -243,6 +247,7 @@ def main():
 
     # ---- run ----------------------------------------------------------------
     log_path = out_dir / "metrics.jsonl"
+    log_path.touch()  # heartbeat for the supervisor: startup phase is alive
     caps_seen = {int(trainer.state.params.capacity)}
     pair_caps_seen = {cfg.raster.max_pairs}
     traj = []
