@@ -185,3 +185,28 @@ def test_merge_ranks_dense_boundaries(rng):
     )
     want = np.searchsorted(cum, np.arange(MP), side="right")
     np.testing.assert_array_equal(got, want)
+
+
+def test_all_culled_scene(rng):
+    """Every gaussian culled (radius 0): zero pairs, all-sentinel tiles."""
+    n = 10
+    rect_min = np.zeros((n, 2), np.float32)
+    rect_max = np.ones((n, 2), np.float32)
+    out = run_binning(
+        rect_min, rect_max, np.zeros(n, np.float32),
+        np.ones(n, np.float32), 64, 64, 16, 16,
+    )
+    assert int(out.num_pairs) == 0
+    assert int(out.overflow_pairs) == 0
+    assert not bool(np.asarray(out.pair_valid).any())
+    assert (np.asarray(out.tile_count) == 0).all()
+
+
+def test_single_gaussian_single_tile(rng):
+    out = run_binning(
+        np.array([[5.0, 5.0]], np.float32), np.array([[6.0, 6.0]], np.float32),
+        np.ones(1, np.float32), np.array([2.5], np.float32), 32, 32, 16, 16,
+    )
+    assert int(out.num_pairs) == 1
+    assert np.asarray(out.sorted_tile_id)[0] == 0
+    assert np.asarray(out.sorted_gauss_idx)[0] == 0
