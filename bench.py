@@ -8,24 +8,47 @@ rasterizer forward, L1+SSIM loss, backward through the custom VJP.
 `vs_baseline` is the ratio to BASELINE_PIXELS_PER_S, the recorded result of
 this benchmark's first TPU v5e run (so later rounds track speedups); the
 reference publishes no numbers (BASELINE.md).
+
+Failure tolerance: this environment's TPU sits behind a relay tunnel that can
+wedge the client forever at device init (docs/DESIGN.md "tunnel traps"), so
+the measurement runs in a CHILD process watched by this parent.  Device init,
+compile, and the timed loop each have a wall-clock bound; a dead tunnel
+yields a structured {"skipped": ...} JSON line in bounded time — never a hang
+and never a raw traceback as the round's official record.
 """
 
-import os
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
 import time
-
-import numpy as np
 
 # First measured value on TPU v5e-1 (round 1).  Later rounds report speedup
 # against this anchor.
 BASELINE_PIXELS_PER_S = 6_723_701.0
+METRIC = "fwd+bwd pixels/s/chip (800x800, 100k gaussians, SH3)"
+
+DEVICE_INIT_TIMEOUT = float(os.environ.get("GSPLAT_BENCH_INIT_TIMEOUT", 180))
+TOTAL_TIMEOUT = float(os.environ.get("GSPLAT_BENCH_TOTAL_TIMEOUT", 1200))
 
 
-def main():
+def child(progress_path: str):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+    def mark(stage: str):
+        with open(progress_path, "a") as f:
+            f.write(f"{stage} {time.time():.1f}\n")
+            f.flush()
+
+    import numpy as np
     import jax
     import jax.numpy as jnp
+
+    jax.devices()  # force backend/tunnel init before anything else
+    mark("devices_ok")
 
     from gaussiansplattingmlx_tpu.config import RasterizerConfig
     from gaussiansplattingmlx_tpu.models import gaussians
@@ -52,13 +75,12 @@ def main():
     cols = rng.uniform(0.05, 0.95, size=(N, 3)).astype(np.float32)
     params, num = gaussians.create_from_points(pts, cols, sh_degree=SH_DEGREE, capacity=N)
     import dataclasses
-    import jax.numpy as _jnp
     params = dataclasses.replace(
         params,
-        scales=_jnp.asarray(
+        scales=jnp.asarray(
             np.log(rng.uniform(0.004, 0.02, size=(N, 3))).astype(np.float32)
         ),
-        opacity=_jnp.asarray(rng.normal(0.0, 2.0, size=(N, 1)).astype(np.float32)),
+        opacity=jnp.asarray(rng.normal(0.0, 2.0, size=(N, 1)).astype(np.float32)),
     )
 
     c2w = np.eye(4)
@@ -70,8 +92,6 @@ def main():
 
     @jax.jit
     def train_like_step(ptuple):
-        p = gaussians.GaussianParams.from_tuple(ptuple)
-
         def loss_fn(ptuple):
             pp = gaussians.GaussianParams.from_tuple(ptuple)
             means, shs, opacity, scales, rots = gaussians.activations(pp)
@@ -100,6 +120,7 @@ def main():
     # (single device executes in order).
     loss, stats, grads = train_like_step(args)
     float(loss)
+    mark("compiled")
 
     iters = 10
     t0 = time.perf_counter()
@@ -113,7 +134,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "fwd+bwd pixels/s/chip (800x800, 100k gaussians, SH3)",
+                "metric": METRIC,
                 "value": round(pixels_per_s),
                 "unit": "pixels/s",
                 "vs_baseline": round(pixels_per_s / BASELINE_PIXELS_PER_S, 3),
@@ -127,6 +148,97 @@ def main():
             }
         )
     )
+
+
+def skip_line(reason: str):
+    print(json.dumps({
+        "metric": METRIC,
+        "value": 0,
+        "unit": "pixels/s",
+        "vs_baseline": 0.0,
+        "skipped": reason,
+    }))
+
+
+def run_attempt(progress_path: str):
+    """Run one watched child. Returns (status, detail): status in
+    {"ok", "init-timeout", "total-timeout", "crash"}."""
+    open(progress_path, "w").close()
+    env = dict(os.environ, GSPLAT_BENCH_CHILD="1",
+               GSPLAT_BENCH_PROGRESS=progress_path)
+    # stderr to a file, not a pipe: an unread pipe can fill and block the
+    # child mid-traceback, turning a crash into a fake hang.
+    err_path = progress_path + ".err"
+    with open(err_path, "w") as errf:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, start_new_session=True, stderr=errf,
+        )
+    started = time.time()
+
+    def stages():
+        try:
+            with open(progress_path) as f:
+                return [ln.split()[0] for ln in f.read().splitlines() if ln]
+        except OSError:
+            return []
+
+    def kill():
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+
+    while True:
+        rc = proc.poll()
+        if rc is not None:
+            if rc == 0:
+                return "ok", ""
+            try:
+                with open(err_path) as f:
+                    err = f.read().strip().splitlines()
+            except OSError:
+                err = []
+            return "crash", err[-1] if err else f"rc={rc}"
+        elapsed = time.time() - started
+        if "devices_ok" not in stages() and elapsed > DEVICE_INIT_TIMEOUT:
+            kill()
+            return "init-timeout", (
+                f"device init did not complete within {DEVICE_INIT_TIMEOUT:.0f}s"
+            )
+        if elapsed > TOTAL_TIMEOUT:
+            kill()
+            return "total-timeout", (
+                f"bench did not finish within {TOTAL_TIMEOUT:.0f}s "
+                f"(reached: {stages() or ['nothing']})"
+            )
+        time.sleep(2)
+
+
+def main():
+    if os.environ.get("GSPLAT_BENCH_CHILD") == "1":
+        child(os.environ["GSPLAT_BENCH_PROGRESS"])
+        return
+    progress_path = tempfile.mktemp(prefix="gsplat_bench_")
+    try:
+        status, detail = run_attempt(progress_path)
+        if status == "ok":
+            return
+        if status == "crash":
+            # Transient backend crashes (tunnel reconnects) deserve one retry.
+            status2, detail2 = run_attempt(progress_path)
+            if status2 == "ok":
+                return
+            skip_line(f"tpu-unavailable after retry: {detail2 or detail}")
+            return
+        # A wedged device init will not fix itself within this process's
+        # lifetime — fail fast rather than retry into a second long hang.
+        skip_line(f"tpu-unavailable: {detail}")
+    finally:
+        for p in (progress_path, progress_path + ".err"):
+            if os.path.exists(p):
+                os.unlink(p)
 
 
 if __name__ == "__main__":

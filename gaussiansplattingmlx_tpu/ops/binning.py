@@ -45,9 +45,27 @@ import jax.numpy as jnp
 
 from . import merge_pallas
 
-# Cumulative pair counts are clamped here so the int32 cumsum can never wrap
-# (monotonicity is what searchsorted needs); max_pairs is always far below it.
-_CUM_CLAMP = 2**30
+# Cumulative pair counts saturate at this value.  The clamp must be applied
+# INSIDE the scan (a clamped-add associative_scan), not after a plain cumsum:
+# at flagship pathology (1M gaussians x full-screen footprints) the true pair
+# total exceeds 2^31 and a plain int32 cumsum wraps negative before any
+# post-hoc clamp, breaking the monotonicity searchsorted/merge_ranks need.
+# 2^30 - 1 keeps every partial sum a+b <= 2^31 - 2 inside int32; max_pairs is
+# always far below the clamp, so ranks for real pair slots are exact.
+_CUM_CLAMP = 2**30 - 1
+
+
+def _saturating_cumsum(footprint: jax.Array) -> jax.Array:
+    """Inclusive cumsum of nonneg int32 saturating at _CUM_CLAMP, wrap-free.
+
+    min(a+b, C) over nonnegative ints is associative for sums that saturate
+    (both associations yield exactly min(true_sum, C)), so the parallel scan
+    computes the exact saturating prefix sum.
+    """
+    return jax.lax.associative_scan(
+        lambda a, b: jnp.minimum(a + b, _CUM_CLAMP),
+        jnp.minimum(footprint, _CUM_CLAMP),
+    )
 
 
 class TileBinning(NamedTuple):
@@ -107,10 +125,13 @@ def bin_gaussians(
     footprint = rw * rh  # exact tile count per gaussian
 
     # Inclusive cumsum = end offset of each gaussian's contiguous pair block,
-    # in gaussian order (the reference's emission order).
-    cum = jnp.minimum(jnp.cumsum(footprint), _CUM_CLAMP)
+    # in gaussian order (the reference's emission order).  Saturating scan:
+    # wrap-free even when the true total exceeds int32 (see _CUM_CLAMP).
+    cum = _saturating_cumsum(footprint)
     total = cum[-1] if n > 0 else jnp.int32(0)
     num_pairs = jnp.minimum(total, max_pairs)
+    # Saturates at _CUM_CLAMP - max_pairs under the >2^31 pathology — still
+    # correctly positive, so overflow detection/auto-grow always fires.
     overflow_pairs = jnp.maximum(total - max_pairs, 0)
     # Gaussians whose block extends past the budget lose pairs (row-major, so
     # later rect rows drop first for the boundary gaussian).

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 512  # slots per sub-block (measured best on v5e)
 SUB = 8  # sub-blocks per grid step (bounds in-flight DMAs to 2*SUB)
-_PAD_VALUE = 2 ** 30  # > any slot index; matches binning._CUM_CLAMP
+_PAD_VALUE = 2 ** 30  # > any slot index AND > binning._CUM_CLAMP (2^30 - 1)
 
 
 def _merge_kernel(lo_ref, cum_hbm, out_ref, cum_vmem, sem, *, B, K, SUB, ng):
@@ -80,9 +80,11 @@ def _merge_kernel(lo_ref, cum_hbm, out_ref, cum_vmem, sem, *, B, K, SUB, ng):
 def merge_ranks(cum: jax.Array, max_pairs: int, *, interpret: bool = False):
     """rank[p] = #{j: cum[j] <= p} for p in [0, max_pairs).
 
-    `cum` must be nondecreasing, STRICTLY increasing below `_PAD_VALUE`
-    (binning guarantees this by compacting zero-footprint gaussians first and
-    clamping), with values in [0, _PAD_VALUE].
+    `cum` must be nondecreasing with values in [0, _PAD_VALUE], STRICTLY
+    increasing below binning._CUM_CLAMP (binning guarantees this by compacting
+    zero-footprint gaussians first; entries saturated at the clamp may repeat,
+    which is safe because every query p < max_pairs << _CUM_CLAMP — window
+    entries at the clamp always compare greater than any real slot).
     """
     n = cum.shape[0]
     B = BLOCK

@@ -197,22 +197,38 @@ def make_dp_train_step(
             beta1=cfg.optim.beta1, beta2=cfg.optim.beta2, eps=cfg.optim.eps,
             bias_correction=cfg.optim.bias_correction,
         )
+        # Overflow/pair counts differ across BOTH mesh axes (each band bins
+        # independently); reduce over both so the reported values are the
+        # replicated globals, not an arbitrary shard's.
+        overflow_pairs = jax.lax.psum(
+            jax.lax.psum(aux_out["overflow_pairs"], "data"), "tile"
+        )
+        overflow_gaussians = jax.lax.psum(
+            jax.lax.psum(aux_out["overflow_gaussians"], "data"), "tile"
+        )
+        overflow_acc = state.overflow_acc + jnp.stack(
+            [overflow_pairs, overflow_gaussians]
+        ).astype(jnp.float32)
         new_state = TrainState(
             params=new_params, opt=new_opt, num_active=state.num_active,
             grad_accum=state.grad_accum + grad_norm,
             grad_denom=state.grad_denom + 1.0,
             step=state.step + 1,
+            overflow_acc=overflow_acc,
         )
         metrics = {
             "loss": loss, **parts,
             "psnr": jax.lax.pmean(aux_out["psnr"], "data"),
-            "num_pairs": jax.lax.pmean(aux_out["num_pairs"], "data"),
-            "overflow_pairs": jax.lax.psum(
-                jax.lax.psum(aux_out["overflow_pairs"], "data"), "tile"
+            # Mean pairs per VIEW: sum the per-band pair counts over "tile"
+            # (one view's bands bin independently; their sum is the view's
+            # full-image pair count), then average over the view batch.
+            "num_pairs": jax.lax.pmean(
+                jax.lax.psum(aux_out["num_pairs"], "tile"), "data"
             ),
-            "overflow_gaussians": jax.lax.psum(
-                jax.lax.psum(aux_out["overflow_gaussians"], "data"), "tile"
-            ),
+            "overflow_pairs": overflow_pairs,
+            "overflow_gaussians": overflow_gaussians,
+            "overflow_pairs_acc": overflow_acc[0],
+            "overflow_gaussians_acc": overflow_acc[1],
         }
         # [1, H, W, 3] per data shard -> [data_parallel, H, W, 3] global.
         images = aux_out["image"][None]

@@ -46,6 +46,7 @@ def save(
     arrays["grad_accum"] = np.asarray(jax.device_get(state.grad_accum))
     arrays["grad_denom"] = np.asarray(jax.device_get(state.grad_denom))
     arrays["step"] = np.asarray(jax.device_get(state.step))
+    arrays["overflow_acc"] = np.asarray(jax.device_get(state.overflow_acc))
     if cfg is not None:
         arrays["config_json"] = np.frombuffer(
             cfg.to_json().encode("utf-8"), dtype=np.uint8
@@ -54,11 +55,17 @@ def save(
         rng_json = json.dumps(host_rng.bit_generator.state)
         arrays["host_rng_json"] = np.frombuffer(rng_json.encode("utf-8"), np.uint8)
     if jax_key is not None:
-        arrays["jax_key"] = np.asarray(
-            jax.random.key_data(jax_key) if jnp.issubdtype(
-                jnp.asarray(jax_key).dtype, jax.dtypes.prng_key
-            ) else jax_key
-        )
+        if jnp.issubdtype(jnp.asarray(jax_key).dtype, jax.dtypes.prng_key):
+            arrays["jax_key"] = np.asarray(jax.random.key_data(jax_key))
+            # Record the key impl so load() can rewrap a TYPED key: returning
+            # the raw uint32 data as a legacy key under a non-default impl
+            # (e.g. jax_enable_custom_prng) would change the densify noise
+            # stream and break bit-exact resume.
+            arrays["jax_key_impl"] = np.frombuffer(
+                str(jax.random.key_impl(jax_key)).encode("utf-8"), np.uint8
+            )
+        else:
+            arrays["jax_key"] = np.asarray(jax_key)
     np.savez(path, **arrays)
 
 
@@ -80,13 +87,25 @@ def load(path):
         grad_accum=jnp.asarray(z["grad_accum"]),
         grad_denom=jnp.asarray(z["grad_denom"]),
         step=jnp.asarray(z["step"]),
+        # Absent in pre-round-3 checkpoints: treat as zero overflow history.
+        overflow_acc=jnp.asarray(
+            z["overflow_acc"] if "overflow_acc" in z
+            else np.zeros((2,), np.float32)
+        ),
     )
     host_rng = None
     if "host_rng_json" in z:
         rng_state = json.loads(bytes(z["host_rng_json"]).decode("utf-8"))
         host_rng = np.random.default_rng(0)
         host_rng.bit_generator.state = rng_state
-    jax_key = jnp.asarray(z["jax_key"]) if "jax_key" in z else None
+    jax_key = None
+    if "jax_key" in z:
+        jax_key = jnp.asarray(z["jax_key"])
+        if "jax_key_impl" in z:
+            # Rewrap to the TYPED key it was saved from (same impl), so the
+            # restored noise stream is identical under any jax key config.
+            impl = bytes(z["jax_key_impl"]).decode("utf-8")
+            jax_key = jax.random.wrap_key_data(jax_key, impl=impl)
     return state, host_rng, jax_key
 
 

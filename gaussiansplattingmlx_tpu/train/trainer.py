@@ -42,6 +42,14 @@ class TrainState:
     grad_accum: jax.Array  # [capacity]
     grad_denom: jax.Array  # [] float32
     step: jax.Array  # [] int32
+    # Running (pairs, gaussians) overflow totals since run start, accumulated
+    # IN-GRAPH every step so overflow between log boundaries cannot be missed
+    # (the trainer only fetches metrics at log intervals; a per-step host
+    # check would serialize dispatch).  float32: pair counts can exceed int32
+    # when accumulated across steps.
+    overflow_acc: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((2,), jnp.float32)
+    )
 
 
 def stack_views(data: TrainData) -> Dict[str, jnp.ndarray]:
@@ -127,9 +135,13 @@ def make_train_step(
             beta1=cfg.optim.beta1, beta2=cfg.optim.beta2, eps=cfg.optim.eps,
             bias_correction=cfg.optim.bias_correction,
         )
+        overflow_acc = state.overflow_acc + jnp.stack(
+            [aux.overflow_pairs, aux.overflow_gaussians]
+        ).astype(jnp.float32)
         new_state = TrainState(
             params=new_params, opt=new_opt, num_active=state.num_active,
             grad_accum=grad_accum, grad_denom=grad_denom, step=state.step + 1,
+            overflow_acc=overflow_acc,
         )
         metrics = {
             "loss": loss, "l1": parts["l1"], "ssim": parts["ssim"],
@@ -138,6 +150,10 @@ def make_train_step(
             "num_pairs": aux.num_pairs,
             "overflow_pairs": aux.overflow_pairs,
             "overflow_gaussians": aux.overflow_gaussians,
+            # Inclusive run totals — what _maybe_grow_raster watches, so an
+            # overflow on any non-logged step still triggers auto-grow.
+            "overflow_pairs_acc": overflow_acc[0],
+            "overflow_gaussians_acc": overflow_acc[1],
         }
         # The rendered image rides along (already computed on device); the
         # host fetches it only at preview intervals — the counterpart of the
@@ -177,6 +193,7 @@ def make_densify_step(cfg: TrainConfig) -> Callable:
             grad_accum=jnp.zeros_like(state.grad_accum),
             grad_denom=jnp.zeros_like(state.grad_denom),
             step=state.step,
+            overflow_acc=state.overflow_acc,
         )
         return new_state, stats
 
@@ -213,7 +230,7 @@ def grow_capacity(state: TrainState, new_capacity: int) -> TrainState:
     return TrainState(
         params=params, opt=opt, num_active=state.num_active,
         grad_accum=pad(state.grad_accum), grad_denom=state.grad_denom,
-        step=state.step,
+        step=state.step, overflow_acc=state.overflow_acc,
     )
 
 
@@ -271,6 +288,9 @@ class Trainer:
         self.densify_step = make_densify_step(config)
         self.history: list = []
         self.out_dir = Path(config.output_dir)
+        # Accumulated overflow already warned about / grown for (host mirror
+        # of TrainState.overflow_acc[0] at the last handling point).
+        self._overflow_handled = 0.0
 
     def _build_train_step(self):
         cfg, data = self.cfg, self.data
@@ -287,7 +307,12 @@ class Trainer:
 
     def _maybe_grow_raster(self, metrics: Dict) -> None:
         """Overflow is a handled condition: warn + double the truncating
-        capacity (recompile at the new static shape), up to config limits."""
+        capacity (recompile at the new static shape), up to config limits.
+
+        Watches the IN-GRAPH accumulated overflow total (TrainState.
+        overflow_acc, surfaced as overflow_pairs_acc) rather than the logged
+        step's instantaneous count, so overflow that occurs and clears between
+        log boundaries still triggers growth."""
         import sys
 
         r = self.cfg.raster
@@ -295,27 +320,32 @@ class Trainer:
             return
         # Binning duplicates footprints exactly (ops/binning.py); the only
         # truncating capacity left is the global pair budget.
-        if metrics.get("overflow_pairs", 0) > 0 and r.max_pairs < r.max_pairs_limit:
+        acc = metrics.get("overflow_pairs_acc", metrics.get("overflow_pairs", 0))
+        new_overflow = acc - self._overflow_handled
+        if new_overflow <= 0:
+            return
+        if r.max_pairs < r.max_pairs_limit:
             new = dataclasses.replace(
                 r, max_pairs=min(r.max_pairs * 2, r.max_pairs_limit)
             )
             print(
-                f"WARNING: pair-budget overflow at step {int(self.state.step)} "
-                f"(pairs dropped {int(metrics.get('overflow_pairs', 0))}, "
-                f"gaussians affected "
+                f"WARNING: pair-budget overflow by step {int(self.state.step)} "
+                f"(pairs dropped since last growth {int(new_overflow)}, "
+                f"gaussians affected this step "
                 f"{int(metrics.get('overflow_gaussians', 0))}); "
                 f"growing max_pairs {r.max_pairs}->{new.max_pairs} (recompile)",
                 file=sys.stderr, flush=True,
             )
             self.cfg = dataclasses.replace(self.cfg, raster=new)
             self._build_train_step()
-        elif metrics.get("overflow_pairs", 0) > 0:
+        else:
             print(
-                f"WARNING: pair-budget overflow at step {int(self.state.step)} "
+                f"WARNING: pair-budget overflow by step {int(self.state.step)} "
                 f"but max_pairs_limit reached (max_pairs={r.max_pairs}); "
                 f"output is truncated — raise raster limits",
                 file=sys.stderr, flush=True,
             )
+        self._overflow_handled = acc
 
     def next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -457,6 +487,9 @@ class Trainer:
             self.rng = host_rng
         if jax_key is not None:
             self.key = jax_key
+        # Overflow already accumulated before the checkpoint was handled then
+        # (the saved config reflects any growth); don't re-warn/re-grow for it.
+        self._overflow_handled = float(np.asarray(self.state.overflow_acc)[0])
         # Auto-grown raster capacities (max_pairs / R) are runtime state: the
         # checkpoint's config records them at save time.  Adopt any that are
         # larger than the current config so a resumed run does not re-truncate

@@ -118,13 +118,17 @@ def main() -> None:
             for k, v in batch_np.items()
         }
 
+        # Device-to-host FETCHES as the sync points, not block_until_ready:
+        # on this tunneled backend block_until_ready can return before
+        # execution finishes (docs/DESIGN.md "measurement honesty"); fetching
+        # the last iterate's loss waits for everything queued before it.
         for _ in range(args.warmup):
             state, metrics, _ = step(state, batch)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
         t0 = time.time()
         for _ in range(args.iters):
             state, metrics, _ = step(state, batch)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
         dt = time.time() - t0
         px_s = args.iters * ndata * W * H / dt
         row = {

@@ -51,19 +51,25 @@ def run_once(cmd, heartbeat: Path, stall_timeout: float):
                 return ("ok" if rc == 0 else "crash"), rc
             except subprocess.TimeoutExpired:
                 pass
+            # A missing heartbeat file counts from launch time: a wedge
+            # during import/device-init (before the trainer's startup touch)
+            # must still trip the stall timeout, or the supervisor loops
+            # forever on exactly the failure class it exists to handle.
             if heartbeat.exists():
                 last = max(heartbeat.stat().st_mtime, started)
-                age = time.time() - last
-                if age > stall_timeout:
-                    print(
-                        f"[supervisor] heartbeat {heartbeat} stale "
-                        f"{age:.0f}s > {stall_timeout:.0f}s — killing process "
-                        f"group {proc.pid}",
-                        flush=True,
-                    )
-                    os.killpg(proc.pid, signal.SIGKILL)
-                    proc.wait()
-                    return "stall", -9
+            else:
+                last = started
+            age = time.time() - last
+            if age > stall_timeout:
+                print(
+                    f"[supervisor] heartbeat {heartbeat} stale "
+                    f"{age:.0f}s > {stall_timeout:.0f}s — killing process "
+                    f"group {proc.pid}",
+                    flush=True,
+                )
+                os.killpg(proc.pid, signal.SIGKILL)
+                proc.wait()
+                return "stall", -9
     finally:
         if proc.poll() is None:
             os.killpg(proc.pid, signal.SIGKILL)

@@ -210,3 +210,44 @@ def test_single_gaussian_single_tile(rng):
     assert int(out.num_pairs) == 1
     assert np.asarray(out.sorted_tile_id)[0] == 0
     assert np.asarray(out.sorted_gauss_idx)[0] == 0
+
+
+def test_saturating_cumsum_no_int32_wrap():
+    """At flagship pathology (1M gaussians x full-screen 2500-tile footprints)
+    the true pair total is 2.5e9 > 2^31: the clamped-add scan must stay
+    monotone and positive where a plain int32 cumsum would wrap negative."""
+    n = 1_000_000
+    footprint = np.full(n, 2500, np.int32)
+    cum = np.asarray(binning._saturating_cumsum(jnp.asarray(footprint)))
+    want = np.minimum(np.cumsum(footprint.astype(np.int64)), binning._CUM_CLAMP)
+    np.testing.assert_array_equal(cum, want.astype(np.int32))
+    assert (cum > 0).all()
+    assert (np.diff(cum) >= 0).all()
+
+
+def test_binning_survives_pathological_pair_total():
+    """Full bin_gaussians at the >2^31-pair pathology: overflow detection
+    fires, valid pairs are the exact gaussian-major prefix, tile ranges stay
+    monotone (nothing downstream sees wrapped offsets)."""
+    n = 1_000_000
+    W = H = 800
+    tw = th = 16  # 50x50 = 2500-tile grid; every gaussian covers it all
+    rect_min = np.zeros((n, 2), np.float32)
+    rect_max = np.full((n, 2), 799.0, np.float32)
+    radii = np.ones(n, np.float32)
+    depths = np.linspace(1.0, 2.0, n).astype(np.float32)
+    max_pairs = 4096
+    out = run_binning(rect_min, rect_max, radii, depths, W, H, tw, th,
+                      max_pairs=max_pairs)
+    assert int(out.num_pairs) == max_pairs
+    assert int(out.overflow_pairs) > 0
+    assert int(out.overflow_gaussians) > 0
+    # Budgeted prefix = gaussian 0's full 2500-tile rect + the start of
+    # gaussian 1's (gaussian-major emission order).
+    gauss = np.asarray(out.sorted_gauss_idx)[np.asarray(out.pair_valid)]
+    counts = np.bincount(gauss, minlength=2)
+    assert counts[0] == 2500 and counts[1] == max_pairs - 2500
+    assert set(np.unique(gauss)) == {0, 1}
+    starts = np.asarray(out.tile_start)
+    assert (np.diff(starts) >= 0).all()
+    assert int(np.asarray(out.tile_count).sum()) == max_pairs

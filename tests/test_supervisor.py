@@ -74,3 +74,17 @@ def test_pre_existing_heartbeat_does_not_trip(tmp_path):
     )
     # process outlives several poll cycles without being killed, exits 0
     assert status == "ok" and rc == 0
+
+
+def test_stall_before_first_heartbeat_is_detected(tmp_path):
+    """A trainer that wedges BEFORE ever creating the heartbeat file (e.g. an
+    RPC wedge during device init) must still trip the stall timeout — the
+    missing-file window counts from launch time."""
+    hb = tmp_path / "metrics.jsonl"  # never created by the fake trainer
+    t0 = time.time()
+    status, rc = sup.run_once(
+        [sys.executable, "-c", "import time; time.sleep(3600)"],
+        hb, stall_timeout=20,
+    )
+    assert status == "stall" and rc != 0
+    assert time.time() - t0 < 120

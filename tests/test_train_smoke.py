@@ -251,3 +251,77 @@ def test_resume_bit_equivalence(scene, tmp_path):
             np.asarray(getattr(t_b.state.opt.m, name)),
             np.asarray(getattr(t_full.state.opt.m, name)),
         )
+
+
+def test_overflow_on_unlogged_step_triggers_growth(scene, capsys):
+    """Overflow on a NON-logged step must still trigger auto-grow: the
+    in-graph overflow accumulator (TrainState.overflow_acc) carries it to the
+    next log boundary even when the logged step itself does not overflow."""
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    pc = PointCloud(coords=pts, colors=cols * 255.0)
+    cfg = TrainConfig(
+        iterations=4, init_points=len(pts), log_interval=4,
+        snapshot_interval=10**9, checkpoint_interval=0, output_dir="",
+        model=ModelConfig(sh_degree=0, initial_capacity=64),
+        raster=dataclasses.replace(RASTER, max_pairs=128, max_pairs_limit=4096),
+        densify=DensifyConfig(from_iter=10**9),
+    )
+    # Add one camera pointed AWAY from the scene (zero pairs, no overflow)
+    # and force the sampler to pick overflowing views on steps 1-3 but the
+    # empty view on the logged step 4.
+    # A camera far away looking outward so nothing projects (zero pairs).
+    c2w = np.eye(4)
+    c2w[:3, 3] = [0.0, 0.0, -50.0]
+    c2w[:3, 2] = [0.0, 0.0, -1.0]  # looking away from the cloud at origin
+    away = Camera.from_c2w(W, H, 50.0, 50.0, c2w)
+    images2 = np.concatenate([images, np.zeros((1, H, W, 3), np.float32)])
+    data = TrainData(cameras=list(cams) + [away], images=images2)
+
+    class ScriptedRng:
+        """Deterministic view sampler: overflowing view, then the empty one."""
+
+        def __init__(self, seq):
+            self.seq = list(seq)
+
+        def integers(self, lo, hi, size=None):
+            v = self.seq.pop(0)
+            return np.array([v] * size) if size is not None else v
+
+    trainer = Trainer(cfg, data, pc, backend="reference")
+    trainer.rng = ScriptedRng([0, 0, 0, len(cams)])  # last = empty view
+    log = []
+    trainer.run(on_metrics=log.append)
+    # The logged step itself had no overflow ...
+    assert log[-1]["overflow_pairs"] == 0
+    # ... but the accumulator carried the earlier steps' overflow:
+    assert log[-1]["overflow_pairs_acc"] > 0
+    assert trainer.cfg.raster.max_pairs > 128
+    assert "WARNING: pair-budget overflow" in capsys.readouterr().err
+
+
+def test_checkpoint_rewraps_typed_prng_key(tmp_path):
+    """A TYPED key (jax.random.key) must restore as the same typed key — the
+    raw uint32 data alone would change the noise stream under non-default
+    key impls (bit-exact-resume contract)."""
+    from gaussiansplattingmlx_tpu.train import checkpoint
+    from gaussiansplattingmlx_tpu.train.trainer import TrainState
+    from gaussiansplattingmlx_tpu.train import optimizer as adam
+
+    params, _ = gaussians.create_from_points(
+        np.zeros((4, 3), np.float32), np.full((4, 3), 0.5, np.float32),
+        sh_degree=0, capacity=4,
+    )
+    state = TrainState(
+        params=params, opt=adam.init(params), num_active=jnp.int32(4),
+        grad_accum=jnp.zeros((4,), jnp.float32),
+        grad_denom=jnp.float32(0.0), step=jnp.int32(0),
+    )
+    typed = jax.random.key(7)
+    checkpoint.save(tmp_path / "c.npz", state, jax_key=typed)
+    _, _, restored = checkpoint.load(tmp_path / "c.npz")
+    assert jnp.issubdtype(restored.dtype, jax.dtypes.prng_key)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.uniform(restored)),
+        np.asarray(jax.random.uniform(typed)),
+    )
