@@ -30,6 +30,9 @@ def parse_args(argv=None):
     p.add_argument("--tile", type=int, default=None)
     p.add_argument("--save-renders", default=None)
     p.add_argument("--no-center", action="store_true")
+    p.add_argument("--views", default=None,
+                   help="comma-separated view indices to evaluate (e.g. the "
+                        "HELD-OUT views of a train/test split); default: all")
     return p.parse_args(argv)
 
 
@@ -101,8 +104,13 @@ def main(argv=None):
     if out_dir:
         out_dir.mkdir(parents=True, exist_ok=True)
 
+    view_ids = (
+        [int(v) for v in args.views.split(",")] if args.views
+        else list(range(len(data.cameras)))
+    )
     psnrs, ssims, l1s = [], [], []
-    for i, cam in enumerate(data.cameras):
+    for i in view_ids:
+        cam = data.cameras[i]
         t = cam.tensors()
         color = render_view(
             jnp.asarray(t["view"]), jnp.asarray(t["proj"]),

@@ -30,10 +30,6 @@ class RasterizerConfig:
     # scripts/kernel_tune.py.
     tile_h: int = 16
     tile_w: int = 16
-    # Retained for config compatibility; binning now duplicates every
-    # footprint exactly (cumsum + searchsorted over the pair axis,
-    # ops/binning.py) so no per-gaussian cap exists.  The value is ignored.
-    max_tiles_per_gaussian: int = 32
     # Global (gaussian, tile) pair budget for the depth sort — the ONE
     # truncating capacity.  Binning reports overflow_pairs when the exact
     # pair total exceeds it.
@@ -46,7 +42,6 @@ class RasterizerConfig:
     # equivalent.
     auto_grow: bool = True
     max_pairs_limit: int = 2 ** 23
-    max_tiles_limit: int = 64  # unused (exact binning); kept for compat
     # Gaussian records processed per inner chunk of the Pallas kernel.
     chunk_size: int = 128
     # Per-Gaussian gradient reduction: "segsum" (sort + MXU segment-sum

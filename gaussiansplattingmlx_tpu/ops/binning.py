@@ -102,10 +102,8 @@ def bin_gaussians(
     image_height: int,
     tile_w: int,
     tile_h: int,
-    max_tiles_per_gaussian: int,  # retained for API compat; binning is exact
     max_pairs: int,
 ) -> TileBinning:
-    del max_tiles_per_gaussian  # no per-gaussian truncation (see module doc)
     n = rect_min.shape[0]
     grid_w = -(-image_width // tile_w)
     grid_h = -(-image_height // tile_h)

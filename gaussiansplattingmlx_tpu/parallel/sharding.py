@@ -57,10 +57,14 @@ def make_mesh(
     n = devices.size
     if data_parallel <= 0:
         data_parallel = n // tile_parallel
-    assert data_parallel * tile_parallel == n, (
-        f"{data_parallel} x {tile_parallel} != {n} devices"
+    need = data_parallel * tile_parallel
+    assert need <= n, f"{data_parallel} x {tile_parallel} > {n} devices"
+    # Fewer devices than available: use the first `need` (jax.devices() is
+    # process-contiguous, so multi-host shards stay host-local).
+    return Mesh(
+        devices.reshape(-1)[:need].reshape(data_parallel, tile_parallel),
+        ("data", "tile"),
     )
-    return Mesh(devices.reshape(data_parallel, tile_parallel), ("data", "tile"))
 
 
 def make_dp_train_step(

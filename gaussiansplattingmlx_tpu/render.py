@@ -121,7 +121,6 @@ def render(
         image_height,
         cfg.tile_w,
         cfg.tile_h,
-        cfg.max_tiles_per_gaussian,
         cfg.max_pairs,
     )
 

@@ -52,16 +52,27 @@ class TrainState:
     )
 
 
+VIEW_KEYS = ("view", "proj", "camera_center", "fov_x", "fov_y", "focal_x",
+             "focal_y", "target_rgb", "target_depth", "depth_mask")
+
+
 def stack_views(data: TrainData) -> Dict[str, jnp.ndarray]:
     """Stack all per-view tensors to device arrays indexed by view id."""
-    keys = ("view", "proj", "camera_center", "fov_x", "fov_y", "focal_x", "focal_y",
-            "target_rgb", "target_depth", "depth_mask")
-    stacked = {k: [] for k in keys}
-    for i in range(data.num_views):
-        t = data.view_tensors(i)
-        for k in keys:
-            stacked[k].append(np.asarray(t[k]))
-    return {k: jnp.asarray(np.stack(v)) for k, v in stacked.items()}
+    stacked = stack_views_host(data, range(data.num_views))
+    return {k: jnp.asarray(v) for k, v in stacked.items()}
+
+
+def stack_views_host(data: TrainData, view_ids) -> Dict[str, np.ndarray]:
+    """Stack the given views' tensors on the HOST (numpy), in view_ids order.
+
+    The multi-host batched path keeps only this process's views in its store —
+    camera targets for other hosts never materialize here."""
+    stacked = {k: [] for k in VIEW_KEYS}
+    for i in view_ids:
+        t = data.view_tensors(int(i))
+        for k in VIEW_KEYS:
+            stacked[k].append(np.asarray(t[k], np.float32))
+    return {k: np.stack(v) for k, v in stacked.items()}
 
 
 def make_train_step(
@@ -245,14 +256,36 @@ class Trainer:
         point_cloud: PointCloud,
         backend: Optional[str] = None,
         mesh=None,
+        batched_views: Optional[bool] = None,
     ):
         """mesh: optional jax.sharding.Mesh with ("data", "tile") axes — when
         given, training runs the data+tile-sharded step (parallel/sharding.py)
         with params replicated and `mesh.shape["data"]` camera views consumed
-        per iteration.  The reference has no counterpart (SURVEY §2.4)."""
+        per iteration.  When mesh is None but config.parallel requests
+        parallelism (or this is a multi-process run), the Trainer builds the
+        mesh itself.  The reference has no counterpart (SURVEY §2.4).
+
+        batched_views: use the multi-host-safe batched step form — each data
+        shard's camera tensors are assembled per step from a HOST-LOCAL view
+        store (parallel/multihost.py) instead of a replicated all-views stack,
+        so camera pixels never cross DCN.  Defaults to on under
+        jax.process_count() > 1, off otherwise; the two forms are exactly
+        equivalent (tests/test_multihost.py densify-equivalence)."""
         self.cfg = config
         self.data = data
         self.backend = backend
+        if mesh is None:
+            par = config.parallel
+            if (
+                par.data_parallel != 1
+                or par.tile_parallel != 1
+                or jax.process_count() > 1
+            ):
+                from ..parallel import sharding as _sharding
+
+                mesh = _sharding.make_mesh(
+                    par.data_parallel, par.tile_parallel
+                )
         self.mesh = mesh
         self.rng = np.random.default_rng(config.seed)
         self.key = jax.random.PRNGKey(config.seed)
@@ -275,15 +308,27 @@ class Trainer:
             grad_denom=jnp.float32(0.0),
             step=jnp.int32(0),
         )
-        self.views = stack_views(data)
+        self.batched_views = False
         if mesh is not None:
             # Late import: parallel.sharding imports TrainState from here.
+            from ..parallel import multihost as _multihost
             from ..parallel import sharding as _sharding
 
             self._sharding = _sharding
+            self._multihost = _multihost
             self.data_parallel = mesh.shape["data"]
+            self.batched_views = (
+                jax.process_count() > 1
+                if batched_views is None else bool(batched_views)
+            )
             self.state = _sharding.replicate_state(self.state, mesh)
-            self.views = _sharding.replicate_views(self.views, mesh)
+            if self.batched_views:
+                self._build_local_store()
+                self.views = None
+            else:
+                self.views = _sharding.replicate_views(stack_views(data), mesh)
+        else:
+            self.views = stack_views(data)
         self._build_train_step()
         self.densify_step = make_densify_step(config)
         self.history: list = []
@@ -298,12 +343,64 @@ class Trainer:
             self.train_step = self._sharding.make_dp_train_step(
                 cfg, data.width, data.height,
                 cfg.model.sh_degree, cfg.iterations, self.mesh, self.backend,
+                batched_views=self.batched_views,
             )
         else:
             self.train_step = make_train_step(
                 cfg, data.width, data.height,
                 cfg.model.sh_degree, cfg.iterations, self.backend,
             )
+
+    def _build_local_store(self):
+        """Batched-views mode: contiguous per-shard view ranges + a host-local
+        tensor store covering only THIS process's shards' views.
+
+        Every process draws the full per-shard `chosen` id vector from the
+        SAME host RNG stream (deterministic across processes and across
+        process counts — the basis of the densify-equivalence test) but
+        materializes tensors only for its own shards."""
+        ndata = self.data_parallel
+        nv = self.data.num_views
+        per = -(-nv // ndata)  # ceil; wrap-padded so shards sample uniformly
+        self.shard_views = [
+            (np.arange(s * per, (s + 1) * per) % nv).astype(np.int64)
+            for s in range(ndata)
+        ]
+        self.local_shards, _ = self._multihost.local_data_shards(self.mesh)
+        local_ids = np.unique(
+            np.concatenate([self.shard_views[s] for s in self.local_shards])
+        )
+        self.local_ids = local_ids
+        self._local_row = {int(g): i for i, g in enumerate(local_ids)}
+        self.local_store = stack_views_host(self.data, local_ids)
+
+    def _batched_step(self):
+        """One batched-views step: sample per-shard global view ids, assemble
+        this process's rows, run the sharded step.  Returns (chosen, metrics,
+        images)."""
+        ndata = self.data_parallel
+        chosen = np.asarray(
+            [
+                self.shard_views[s][
+                    int(self.rng.integers(0, len(self.shard_views[s])))
+                ]
+                for s in range(ndata)
+            ],
+            np.int64,
+        )
+        rows = np.asarray(
+            [self._local_row[int(chosen[s])] for s in self.local_shards],
+            np.int64,
+        )
+        local_batch = {k: v[rows] for k, v in self.local_store.items()}
+        batch = self._multihost.make_global_view_batch(local_batch, self.mesh)
+        self.state, metrics, images = self.train_step(self.state, batch)
+        return chosen, metrics, images
+
+    @property
+    def is_writer(self) -> bool:
+        """Only process 0 writes previews/snapshots/checkpoints/curves."""
+        return jax.process_index() == 0
 
     def _maybe_grow_raster(self, metrics: Dict) -> None:
         """Overflow is a handled condition: warn + double the truncating
@@ -363,7 +460,11 @@ class Trainer:
         last_step = start
         final = {}
         for it in range(start + 1, iterations + 1):
-            if self.mesh is not None:
+            if self.mesh is not None and self.batched_views:
+                chosen, metrics, images = self._batched_step()
+                view_idx = int(chosen[0])
+                image = None
+            elif self.mesh is not None:
                 idxs = self.rng.integers(
                     0, self.data.num_views, size=self.data_parallel
                 )
@@ -382,9 +483,9 @@ class Trainer:
                     self.state, self.views, jnp.int32(view_idx)
                 )
 
-            if it % cfg.preview_interval == 0 and cfg.output_dir:
+            if it % cfg.preview_interval == 0 and cfg.output_dir and self.is_writer:
                 if image is None:
-                    image = jax.device_get(images)[0]
+                    image = self._fetch_preview_image(images)
                 self.save_preview(it, image, view_idx)
             if it % cfg.snapshot_interval == 0 and cfg.output_dir:
                 self.save_snapshot(it)
@@ -427,6 +528,15 @@ class Trainer:
             if self.mesh is not None:
                 self.state = self._sharding.replicate_state(self.state, self.mesh)
 
+    def _fetch_preview_image(self, images):
+        """First data shard's rendered view.  Multi-process: read only an
+        ADDRESSABLE shard (device_get on the global sharded array would need
+        non-addressable transfers); on the host-contiguous mesh process 0's
+        first shard is data index 0, matching view_idx."""
+        if jax.process_count() == 1:
+            return jax.device_get(images)[0]
+        return np.asarray(images.addressable_shards[0].data)[0]
+
     def save_preview(self, iteration: int, image, view_idx: int):
         """Rendered/GT preview pair (TrainStatusView counterpart)."""
         from PIL import Image as PILImage
@@ -445,7 +555,7 @@ class Trainer:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        if not self.history:
+        if not self.history or not self.is_writer:
             return
         its = [m["iteration"] for m in self.history]
         fig, ax1 = plt.subplots(figsize=(8, 4))
@@ -463,6 +573,8 @@ class Trainer:
     def save_snapshot(self, iteration: int):
         from ..data import ply
 
+        if not self.is_writer:
+            return
         n = int(self.state.num_active)
         p = jax.device_get(self.state.params)
         ply.write_gaussian_ply(
@@ -474,6 +586,8 @@ class Trainer:
     def save_checkpoint(self, iteration: int):
         from . import checkpoint
 
+        if not self.is_writer:
+            return
         checkpoint.save(
             self.out_dir / f"ckpt_{iteration}.npz", self.state, self.cfg,
             host_rng=self.rng, jax_key=self.key,
@@ -498,19 +612,10 @@ class Trainer:
         ckpt_cfg = checkpoint.load_config(path)
         if ckpt_cfg is not None:
             r, cr = self.cfg.raster, ckpt_cfg.raster
-            if (
-                cr.max_pairs > r.max_pairs
-                or cr.max_tiles_per_gaussian > r.max_tiles_per_gaussian
-            ):
+            if cr.max_pairs > r.max_pairs:
                 self.cfg = dataclasses.replace(
                     self.cfg,
-                    raster=dataclasses.replace(
-                        r,
-                        max_pairs=max(r.max_pairs, cr.max_pairs),
-                        max_tiles_per_gaussian=max(
-                            r.max_tiles_per_gaussian, cr.max_tiles_per_gaussian
-                        ),
-                    ),
+                    raster=dataclasses.replace(r, max_pairs=cr.max_pairs),
                 )
                 self._build_train_step()
         if self.mesh is not None:

@@ -77,8 +77,7 @@ def main():
         for chunk in [int(x) for x in args.chunks.split(",")]:
             cfg = RasterizerConfig(
                 tile_h=tile, tile_w=tile, chunk_size=chunk,
-                max_pairs=2**20, max_tiles_per_gaussian=32,
-            )
+                max_pairs=2**20, )
             fwd, both = build(cfg)
             t0 = time.time()
             jax.block_until_ready(both(arglist))

@@ -101,7 +101,7 @@ def worker(args) -> None:
     }
 
     raster = RasterizerConfig(
-        tile_h=16, tile_w=16, max_tiles_per_gaussian=8, max_pairs=4096,
+        tile_h=16, tile_w=16, max_pairs=4096,
         chunk_size=32, backend="reference",
     )
     cfg = TrainConfig(
@@ -145,8 +145,72 @@ def worker(args) -> None:
         print("RESULT " + json.dumps(out), flush=True)
 
 
+def worker_trainer(args) -> None:
+    """Full Trainer in multi-process batched-views mode on a real dataset
+    (the vendored COLMAP scene): densification, capacity growth, raster
+    auto-grow and checkpoint/resume all run under jax.process_count() > 1.
+
+    Deterministic across process COUNTS: the same seed trains bit-identical
+    params whether the (data=N) mesh spans 1 process or N — the equivalence
+    test in tests/test_multihost.py compares the saved final params."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from gaussiansplattingmlx_tpu.parallel import multihost
+
+    multihost.initialize()
+    import numpy as np
+
+    from gaussiansplattingmlx_tpu.config import (
+        DensifyConfig, ModelConfig, ParallelConfig, RasterizerConfig,
+        TrainConfig,
+    )
+    from gaussiansplattingmlx_tpu.data import colmap
+    from gaussiansplattingmlx_tpu.train.trainer import Trainer
+
+    pi, pc = jax.process_index(), jax.process_count()
+    print(f"[proc {pi}/{pc}] trainer mode: {len(jax.devices())} global devices",
+          flush=True)
+    data, pcd = colmap.load_colmap(args.root, resize_factor=args.resize_factor)
+    pcd, centroid = pcd.centering()
+    data = data.shift_cameras(centroid)
+    cfg = TrainConfig(
+        iterations=args.iters, init_points=args.points,
+        log_interval=max(args.iters // 3, 1), snapshot_interval=10**9,
+        preview_interval=10**9, checkpoint_interval=args.ckpt_interval,
+        output_dir=args.out, seed=0,
+        model=ModelConfig(sh_degree=1, initial_capacity=256,
+                          max_gaussians=4096),
+        raster=RasterizerConfig(max_pairs=8192, chunk_size=32,
+                                backend="reference"),
+        densify=DensifyConfig(interval=4, from_iter=4, until_iter=10**9,
+                              grad_threshold=1e-9, max_scale=1e9),
+        parallel=ParallelConfig(data_parallel=0, tile_parallel=1),
+    )
+    # batched_views explicitly ON even single-process so the view-sampling
+    # stream is identical across process counts (the equivalence contract).
+    trainer = Trainer(cfg, data, pcd, backend="reference", batched_views=True)
+    if args.resume:
+        trainer.restore_checkpoint(args.resume)
+        print(f"[proc {pi}] resumed from {args.resume} "
+              f"at step {int(trainer.state.step)}", flush=True)
+    trainer.run()
+    if trainer.is_writer:
+        p = jax.device_get(trainer.state.params)
+        Path(args.out).mkdir(parents=True, exist_ok=True)
+        np.savez(
+            Path(args.out) / "final_params.npz",
+            xyz=np.asarray(p.xyz), scales=np.asarray(p.scales),
+            opacity=np.asarray(p.opacity),
+            features_dc=np.asarray(p.features_dc),
+            num_active=int(trainer.state.num_active),
+        )
+        print("TRAINER_DONE", flush=True)
+
+
 def launcher(args) -> None:
-    port = 29701
+    port = args.port
     procs = []
     for pid in range(args.num_processes):
         env = dict(
@@ -164,6 +228,12 @@ def launcher(args) -> None:
         cmd = [sys.executable, __file__, "--worker", "--cpu",
                "--iters", str(args.iters), "--size", str(args.size),
                "--views", str(args.views), "--points", str(args.points)]
+        if args.trainer:
+            cmd += ["--trainer", "--root", args.root, "--out", args.out,
+                    "--resize-factor", str(args.resize_factor),
+                    "--ckpt-interval", str(args.ckpt_interval)]
+            if args.resume:
+                cmd += ["--resume", args.resume]
         procs.append(subprocess.Popen(cmd, env=env, cwd=str(REPO)))
     rc = [p.wait(timeout=args.timeout) for p in procs]
     if any(rc):
@@ -183,8 +253,18 @@ def main() -> None:
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--points", type=int, default=64)
     ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--port", type=int, default=29701)
+    # --trainer mode: full Trainer (densify/growth/ckpt) on a COLMAP scene.
+    ap.add_argument("--trainer", action="store_true")
+    ap.add_argument("--root", default="tests/fixtures/vendor_scene")
+    ap.add_argument("--out", default="/tmp/multihost_trainer")
+    ap.add_argument("--resize-factor", type=float, default=0.25)
+    ap.add_argument("--ckpt-interval", type=int, default=0)
+    ap.add_argument("--resume", default=None)
     args = ap.parse_args()
-    if args.worker:
+    if args.worker and args.trainer:
+        worker_trainer(args)
+    elif args.worker:
         worker(args)
     else:
         launcher(args)

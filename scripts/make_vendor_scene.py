@@ -37,6 +37,26 @@ SPHERES = [  # center, radius, base color, specular
     (np.array([0.85, 0.28, 0.45]), 0.28, np.array([0.15, 0.35, 0.80]), 0.7),
     (np.array([-0.75, 0.33, -0.35]), 0.33, np.array([0.92, 0.75, 0.10]), 0.3),
 ]
+# --rich additions (flagship campaigns): detail at several scales so the
+# densifier has real work — small saturated spheres plus a ring of marbles.
+RICH_SPHERES = [
+    (np.array([0.35, 0.16, -0.80]), 0.16, np.array([0.20, 0.75, 0.35]), 0.6),
+    (np.array([-0.45, 0.12, 0.70]), 0.12, np.array([0.85, 0.45, 0.10]), 0.4),
+    (np.array([1.30, 0.18, -0.45]), 0.18, np.array([0.55, 0.15, 0.75]), 0.5),
+    (np.array([-1.35, 0.22, 0.35]), 0.22, np.array([0.10, 0.60, 0.70]), 0.6),
+    (np.array([0.10, 0.10, 1.20]), 0.10, np.array([0.95, 0.90, 0.20]), 0.8),
+    (np.array([-0.15, 0.08, -1.25]), 0.08, np.array([0.90, 0.25, 0.55]), 0.7),
+] + [
+    (
+        np.array([1.9 * np.cos(a), 0.07, 1.9 * np.sin(a)]),
+        0.07,
+        np.array([0.3 + 0.6 * ((i * 5) % 7) / 6.0,
+                  0.2 + 0.7 * ((i * 3) % 5) / 4.0,
+                  0.25 + 0.65 * ((i * 2) % 3) / 2.0]),
+        0.5,
+    )
+    for i, a in enumerate(np.linspace(0, 2 * np.pi, 12, endpoint=False))
+]
 PLANE_Y = 0.0
 
 
@@ -204,8 +224,25 @@ def write_colmap(dest: Path, c2ws, point_xyz, point_rgb):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="tests/fixtures/vendor_scene")
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=192)
+    ap.add_argument("--focal", type=float, default=None,
+                    help="default scales the fixture's 290px with width/256")
+    ap.add_argument("--views", type=int, default=10)
+    ap.add_argument("--points", type=int, default=4000,
+                    help="SfM-like sparse cloud size")
+    ap.add_argument("--rich", action="store_true",
+                    help="add extra primitives (flagship campaigns: detail "
+                         "the densifier must resolve); the default fixture "
+                         "stays byte-identical without it")
     args = ap.parse_args()
     from PIL import Image
+
+    global W, H, FOCAL, N_VIEWS, SPHERES
+    W, H, N_VIEWS = args.width, args.height, args.views
+    FOCAL = args.focal if args.focal else 290.0 * W / 256.0
+    if args.rich:
+        SPHERES = SPHERES + RICH_SPHERES
 
     dest = Path(args.out)
     (dest / "images").mkdir(parents=True, exist_ok=True)
@@ -222,9 +259,9 @@ def main():
         Image.fromarray((img * 255 + 0.5).astype(np.uint8)).save(
             dest / "images" / f"frame_{i:03d}.png"
         )
-        print(f"rendered frame_{i:03d}.png")
+        print(f"rendered frame_{i:03d}.png", flush=True)
 
-    pts, cols = surface_points(rng)
+    pts, cols = surface_points(rng, n=args.points)
     write_colmap(dest, c2ws, pts, cols)
     print(f"wrote {dest} ({N_VIEWS} views {W}x{H}, {len(pts)} points)")
 

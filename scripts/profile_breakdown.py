@@ -57,7 +57,7 @@ def main():
     N = args.gaussians
     cfg = RasterizerConfig(
         tile_h=args.tile, tile_w=args.tile, chunk_size=args.chunk,
-        max_pairs=args.max_pairs, max_tiles_per_gaussian=32,
+        max_pairs=args.max_pairs,
     )
     rng = np.random.default_rng(0)
     pts = rng.normal(size=(N, 3)).astype(np.float32) * 0.6
@@ -89,7 +89,7 @@ def main():
     def stage_bin(p):
         return binning_mod.bin_gaussians(
             p.rect_min, p.rect_max, p.radii, p.depths, W, H,
-            cfg.tile_w, cfg.tile_h, cfg.max_tiles_per_gaussian, cfg.max_pairs,
+            cfg.tile_w, cfg.tile_h, cfg.max_pairs,
         )
 
     b = stage_bin(p)

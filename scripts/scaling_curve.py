@@ -63,7 +63,7 @@ def main() -> None:
     cols = rng.uniform(0.1, 0.9, size=(args.points, 3)).astype(np.float32)
 
     raster = RasterizerConfig(
-        tile_h=16, tile_w=16, max_tiles_per_gaussian=16, max_pairs=2**14,
+        tile_h=16, tile_w=16, max_pairs=2**14,
         chunk_size=128, backend=args.backend,
     )
     cfg = TrainConfig(

@@ -3,19 +3,31 @@
 The reference's default workload is lego @ resize 0.5 (800x800), 16,384 init
 points, 30,000 iterations, SH degree 4, densifying to O(100k+) gaussians
 (UI/TrainView.swift:171,206-215, Trainer/GaussianTrainer.swift:300).  Datasets
-cannot be downloaded in this environment, so the campaign uses a procedural
-lego-scale scene: a structured ground-truth model (~60k surface splats over a
-studded baseplate, blocks, arches and a cylinder tower) rendered to 32 views
-at 800x800 by this framework's own renderer, then trained from a noisy 16,384
-point SfM-like subsample.
+cannot be downloaded in this environment; two scene sources exist:
+
+  --dataset-root DIR   (the honest flagship form) a COLMAP scene whose images
+      come from an INDEPENDENT renderer — the numpy ray tracer in
+      scripts/make_vendor_scene.py (e.g. 800x800 x 36 views, --rich).  The
+      target is NOT representable by the gaussian model family, so PSNR here
+      measures real reconstruction quality.  --holdout K splits off K
+      evenly-spaced TEST views never seen in training; summary.json reports
+      train AND held-out PSNR/SSIM.
+
+  (default, no --dataset-root) the self-fit procedural scene: a structured
+      ground-truth model rendered by this framework's own renderer.  Useful
+      as a mechanics/performance workload; its PSNR overstates quality
+      (the target is exactly representable) — see VERDICT round 2.
 
 Outputs (to --out):
-  metrics.jsonl   one line per log interval (loss, psnr, n, it/s, overflow)
-  summary.json    final PSNR, gaussian trajectory, sustained it/s, recompile
-                  count, overflow totals  -> the BASELINE.md campaign row
+  metrics.jsonl   one line per log interval (loss, psnr, n, it/s, overflow);
+                  APPENDED across supervisor restarts
+  summary.json    aggregated over ALL metrics.jsonl segments (resume-aware):
+                  final/first PSNR, gaussian trajectory, honest mean it/s,
+                  recompile count, overflow totals, held-out eval
   ckpt_*.npz      resumable checkpoints
 
-    python scripts/train_flagship_tpu.py --iters 30000 --out outputs/flagship
+    python scripts/train_flagship_tpu.py --iters 30000 --out outputs/flagship \
+        --dataset-root outputs/vendor_scene_800 --holdout 4
 """
 
 import os
@@ -115,7 +127,19 @@ def main():
     ap.add_argument("--backend", default=None)
     ap.add_argument("--resume", default="")
     ap.add_argument("--out", default="outputs/flagship")
+    ap.add_argument("--dataset-root", default="",
+                    help="COLMAP scene from an independent renderer "
+                         "(make_vendor_scene.py); replaces the self-fit GT")
+    ap.add_argument("--holdout", type=int, default=0,
+                    help="hold out this many evenly-spaced views from "
+                         "training; evaluated at the end")
+    ap.add_argument("--max-pairs", type=int, default=2**21)
+    ap.add_argument("--initial-capacity", type=int, default=2**15)
     args = ap.parse_args()
+
+    from gaussiansplattingmlx_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # GSPLAT_PLATFORM=cpu forces CPU (axon ignores env)
 
     import dataclasses
 
@@ -141,7 +165,37 @@ def main():
     # as a stall.
     (out_dir / "metrics.jsonl").touch()
 
-    # ---- ground-truth scene ------------------------------------------------
+    holdout_ids: list = []
+    holdout_cams: list = []
+    holdout_images = None
+    if args.dataset_root:
+        # ---- independent imagery (the honest flagship form) ----------------
+        from gaussiansplattingmlx_tpu.data import colmap
+
+        data_all, pcd = colmap.load_colmap(args.dataset_root, resize_factor=1.0)
+        pcd, centroid = pcd.centering()
+        data_all = data_all.shift_cameras(centroid)
+        W, H = data_all.width, data_all.height
+        nv = data_all.num_views
+        if args.holdout:
+            holdout_ids = [
+                int(i) for i in np.linspace(0, nv, args.holdout, endpoint=False)
+            ]
+        train_ids = [i for i in range(nv) if i not in set(holdout_ids)]
+        holdout_cams = [data_all.cameras[i] for i in holdout_ids]
+        if holdout_ids:
+            holdout_images = np.stack([data_all.images[i] for i in holdout_ids])
+        cams = [data_all.cameras[i] for i in train_ids]
+        images = np.stack([data_all.images[i] for i in train_ids])
+        print(
+            f"independent scene {args.dataset_root}: {nv} views {W}x{H} "
+            f"({len(cams)} train / {len(holdout_ids)} held out: {holdout_ids}), "
+            f"{pcd.size} SfM points", flush=True,
+        )
+        return run_campaign(args, cams, images, pcd, W, H, out_dir,
+                            holdout_cams, holdout_images, holdout_ids)
+
+    # ---- ground-truth scene (self-fit form) --------------------------------
     pts, cols = _surface_points(rng, args.gt_gaussians)
     n = len(pts)  # may be < gt_gaussians when the scene runs out of surfaces
     gt_params, _ = gaussians.create_from_points(
@@ -213,11 +267,31 @@ def main():
         np.clip(images[0] * 255, 0, 255).astype(np.uint8)
     ).save(out_dir / "gt_view0.png")
 
-    # ---- train config (reference defaults at flagship scale) ---------------
     # SfM-like init: noisy subsample of the GT surface points.
     sel = rng.permutation(n)[: args.init_points]
     noisy = pts[sel] + rng.normal(size=(args.init_points, 3)).astype(np.float32) * 0.01
     pcd = PointCloud(coords=noisy, colors=cols[sel] * 255.0)
+    return run_campaign(args, cams, images, pcd, W, H, out_dir, [], None, [])
+
+
+def run_campaign(args, cams, images, pcd, W, H, out_dir,
+                 holdout_cams, holdout_images, holdout_ids):
+    """Train config (reference defaults at flagship scale), the training loop
+    with jsonl logging, resume-aware summary, and held-out evaluation."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussiansplattingmlx_tpu.config import (
+        DensifyConfig, ModelConfig, RasterizerConfig, TrainConfig,
+    )
+    from gaussiansplattingmlx_tpu.data.dataset import TrainData
+    from gaussiansplattingmlx_tpu.models import gaussians
+    from gaussiansplattingmlx_tpu.ops import losses as losses_mod
+    from gaussiansplattingmlx_tpu.ops import ssim as ssim_mod
+    from gaussiansplattingmlx_tpu.render import render
+    from gaussiansplattingmlx_tpu.train.trainer import Trainer
+
+    white_background = not args.dataset_root  # ray-traced scenes have a sky
 
     cfg = TrainConfig(
         iterations=args.iters,
@@ -227,13 +301,13 @@ def main():
         preview_interval=2000,
         checkpoint_interval=args.checkpoint_interval,
         early_stop_loss=1e-7,
-        white_background=True,
+        white_background=white_background,
         output_dir=str(out_dir),
         model=ModelConfig(
-            sh_degree=args.sh_degree, initial_capacity=2**15,
+            sh_degree=args.sh_degree, initial_capacity=args.initial_capacity,
             max_gaussians=1_000_000,
         ),
-        raster=RasterizerConfig(max_pairs=2**21),
+        raster=RasterizerConfig(max_pairs=args.max_pairs),
         densify=DensifyConfig(
             interval=100, from_iter=500, until_iter=args.densify_until,
             grad_threshold=args.grad_threshold,
@@ -248,17 +322,12 @@ def main():
     # ---- run ----------------------------------------------------------------
     log_path = out_dir / "metrics.jsonl"
     log_path.touch()  # heartbeat for the supervisor: startup phase is alive
-    caps_seen = {int(trainer.state.params.capacity)}
-    pair_caps_seen = {cfg.raster.max_pairs}
-    traj = []
     t0 = time.time()
 
     def on_metrics(m):
-        caps_seen.add(int(trainer.state.params.capacity))
-        pair_caps_seen.add(trainer.cfg.raster.max_pairs)
         row = dict(m, capacity=int(trainer.state.params.capacity),
+                   max_pairs=trainer.cfg.raster.max_pairs,
                    wall_s=round(time.time() - t0, 1))
-        traj.append(row)
         with open(log_path, "a") as f:
             f.write(json.dumps(row) + "\n")
         print(f"iter {m['iteration']:6d} loss {m['loss']:.4f} "
@@ -268,40 +337,138 @@ def main():
               flush=True)
 
     final = trainer.run(on_metrics=on_metrics)
-    wall = time.time() - t0
     trainer.save_snapshot(int(trainer.state.step))
     trainer.save_loss_curve()
 
-    # Sustained it/s: median over the second half of the run (excludes
-    # early-phase recompiles).
-    half = [r["iters_per_s"] for r in traj[len(traj) // 2:]]
+    # ---- summary: aggregated over ALL metrics.jsonl segments ----------------
+    # The jsonl is appended across supervisor restarts; statistics must cover
+    # the WHOLE campaign, not the final segment (VERDICT round 2, weak #2).
+    rows, total_wall = merge_metric_segments(log_path)
+    half = [r["iters_per_s"] for r in rows[len(rows) // 2:]]
     summary = {
         "workload": {
-            "image": f"{W}x{H}", "views": args.views,
+            "image": f"{W}x{H}", "views": len(cams),
+            "holdout_views": list(holdout_ids),
             "sh_degree": args.sh_degree, "init_points": args.init_points,
             "iterations": int(trainer.state.step),
+            "independent_imagery": bool(args.dataset_root),
         },
         "final_psnr": final.get("psnr"),
         "final_loss": final.get("loss"),
-        "first_psnr": traj[0]["psnr"] if traj else None,
+        "first_psnr": rows[0]["psnr"] if rows else None,
         "num_gaussians_final": int(trainer.state.num_active),
+        "num_gaussians_peak": max((r["num_active"] for r in rows), default=0),
         "gaussian_trajectory": [
-            (r["iteration"], r["num_active"]) for r in traj[:: max(1, len(traj) // 40)]
+            (r["iteration"], r["num_active"])
+            for r in rows[:: max(1, len(rows) // 40)]
         ],
         "sustained_it_per_s": float(np.median(half)) if half else None,
-        "mean_it_per_s": int(trainer.state.step) / wall,
-        "wall_s": wall,
-        "capacity_recompiles": len(caps_seen) - 1,
-        "pair_budget_recompiles": len(pair_caps_seen) - 1,
+        "mean_it_per_s": (
+            int(trainer.state.step) / total_wall if total_wall else None
+        ),
+        "wall_s_total": total_wall,
+        "segments": len(set(r.get("_segment", 0) for r in rows)),
+        "capacity_recompiles": len(set(r["capacity"] for r in rows)) - 1,
+        "pair_budget_recompiles": len(
+            set(r.get("max_pairs", cfg.raster.max_pairs) for r in rows)
+        ) - 1,
         "final_max_pairs": trainer.cfg.raster.max_pairs,
         "overflow_events": sum(
-            1 for r in traj
+            1 for r in rows
             if r.get("overflow_pairs", 0) or r.get("overflow_gaussians", 0)
         ),
     }
+
+    # ---- held-out evaluation (never-trained views) ---------------------------
+    if holdout_cams:
+        active = gaussians.active_mask(trainer.state.params,
+                                       trainer.state.num_active)
+        means, shs, opacity, scales, rots = gaussians.activations(
+            trainer.state.params, active
+        )
+        rcfg = trainer.cfg.raster
+
+        @jax.jit
+        def render_eval(view, proj, center, fovx, fovy, fx, fy):
+            out, _ = render(
+                means, shs, opacity, scales, rots,
+                view, proj, center, fovx, fovy, fx, fy,
+                W, H, args.sh_degree, raster_cfg=rcfg,
+                backend=args.backend, white_background=white_background,
+                active=active,
+            )
+            return out.color
+
+        from PIL import Image as PILImage
+
+        hdir = out_dir / "holdout"
+        hdir.mkdir(exist_ok=True)
+        hpsnr, hssim = [], []
+        for j, cam in enumerate(holdout_cams):
+            t = cam.tensors()
+            color = render_eval(
+                jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+                jnp.asarray(t["camera_center"]),
+                t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
+            )
+            target = jnp.asarray(holdout_images[j])
+            hpsnr.append(float(losses_mod.psnr(color, target)))
+            hssim.append(float(ssim_mod.ssim(color, target)))
+            pair = np.concatenate(
+                [np.asarray(color), np.asarray(target)], axis=1
+            )
+            PILImage.fromarray(
+                np.clip(pair * 255, 0, 255).astype(np.uint8)
+            ).save(hdir / f"holdout_{holdout_ids[j]:03d}.png")
+            print(f"holdout view {holdout_ids[j]:3d}: psnr {hpsnr[-1]:.2f} "
+                  f"ssim {hssim[-1]:.4f}", flush=True)
+        summary["holdout"] = {
+            "views": list(holdout_ids),
+            "psnr_mean": float(np.mean(hpsnr)),
+            "psnr_per_view": hpsnr,
+            "ssim_mean": float(np.mean(hssim)),
+            "ssim_per_view": hssim,
+        }
+
     with open(out_dir / "summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
+
+
+def merge_metric_segments(log_path):
+    """Merge metrics.jsonl across supervisor-restart segments.
+
+    Segment boundaries are where `iteration` rolls back (resume from an older
+    checkpoint) or `wall_s` resets.  Later segments override earlier rows at
+    the same iteration (they are the run that actually produced the final
+    model).  Returns (rows sorted by iteration, total wall seconds summed
+    over segments)."""
+    rows = []
+    try:
+        with open(log_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+    except OSError:
+        return [], 0.0
+    if not rows:
+        return [], 0.0
+    seg = 0
+    prev_it, prev_wall = None, None
+    seg_wall = {}
+    for r in rows:
+        it, wall = r.get("iteration", 0), r.get("wall_s", 0.0)
+        if prev_it is not None and (it <= prev_it or wall < prev_wall):
+            seg += 1
+        r["_segment"] = seg
+        seg_wall[seg] = max(seg_wall.get(seg, 0.0), wall)
+        prev_it, prev_wall = it, wall
+    by_iter = {}
+    for r in rows:  # later rows (newer segments) override
+        by_iter[r["iteration"]] = r
+    merged = [by_iter[k] for k in sorted(by_iter)]
+    return merged, float(sum(seg_wall.values()))
 
 
 if __name__ == "__main__":

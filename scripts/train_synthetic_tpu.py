@@ -73,7 +73,7 @@ def main():
         ),
     )
 
-    raster = RasterizerConfig(max_pairs=2**17, max_tiles_per_gaussian=32)
+    raster = RasterizerConfig(max_pairs=2**17)
     # NOTE (round-1 investigation): at the defaults this scene trains from
     # ~20 dB to ~34 dB.  Large synthetic scenes with opaque overlapping
     # blobs and no densification plateau or degrade — that is a property of

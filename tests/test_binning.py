@@ -24,7 +24,7 @@ def brute_force_pairs(rect_min, rect_max, radii, depths, W, H, tw, th):
     return pairs, gw * gh
 
 
-def run_binning(rect_min, rect_max, radii, depths, W, H, tw, th, R=16, max_pairs=256):
+def run_binning(rect_min, rect_max, radii, depths, W, H, tw, th, max_pairs=256):
     return binning.bin_gaussians(
         jnp.asarray(rect_min),
         jnp.asarray(rect_max),
@@ -34,7 +34,6 @@ def run_binning(rect_min, rect_max, radii, depths, W, H, tw, th, R=16, max_pairs
         H,
         tw,
         th,
-        R,
         max_pairs,
     )
 
@@ -84,14 +83,14 @@ def test_depth_ordering_within_tile(rng):
 
 
 def test_huge_footprint_is_exact(rng):
-    # One gaussian covering the whole 4x4 tile grid: binning is exact — the
-    # (ignored) R argument must not truncate anything.
+    # One gaussian covering the whole 4x4 tile grid: binning is exact —
+    # no per-gaussian footprint truncation of any kind.
     W = H = 64
     rect_min = np.zeros((1, 2), np.float32)
     rect_max = np.full((1, 2), 63.0, np.float32)
     radii = np.ones(1, np.float32)
     depths = np.ones(1, np.float32)
-    out = run_binning(rect_min, rect_max, radii, depths, W, H, 16, 16, R=4)
+    out = run_binning(rect_min, rect_max, radii, depths, W, H, 16, 16)
     assert int(out.overflow_gaussians) == 0
     assert int(out.num_pairs) == 16
     kept = np.asarray(out.sorted_tile_id)[np.asarray(out.pair_valid)]
@@ -106,7 +105,7 @@ def test_pair_budget_overflow(rng):
     rect_max = np.tile(np.array([[20.0, 20.0]], np.float32), (n, 1))
     radii = np.ones(n, np.float32)
     depths = np.arange(1, n + 1, dtype=np.float32)
-    out = run_binning(rect_min, rect_max, radii, depths, W, H, 16, 16, R=8, max_pairs=16)
+    out = run_binning(rect_min, rect_max, radii, depths, W, H, 16, 16, max_pairs=16)
     assert int(out.num_pairs) == 16
     assert int(out.overflow_pairs) == 40 - 16
     # 6 gaussians' blocks extend past the 16-pair budget (gaussian-major
@@ -124,7 +123,7 @@ def test_budget_keeps_gaussian_major_prefix(rng):
     rect_max = np.array([[127.0, 127.0]], np.float32)
     out = run_binning(
         rect_min, rect_max, np.ones(1, np.float32), np.ones(1, np.float32),
-        W, H, 16, 16, R=8, max_pairs=8,
+        W, H, 16, 16, max_pairs=8,
     )
     assert int(out.overflow_gaussians) == 1
     assert int(out.num_pairs) == 8
@@ -145,7 +144,7 @@ def test_exactness_at_scale_random(rng):
     rect_min = np.maximum(means - radius[:, None], 0.0)
     rect_max = np.minimum(means + radius[:, None], np.array([W - 1, H - 1], np.float32))
     out = run_binning(
-        rect_min, rect_max, radius, depths, W, H, tw, th, R=4, max_pairs=2**15
+        rect_min, rect_max, radius, depths, W, H, tw, th, max_pairs=2**15
     )
     expected, _ = brute_force_pairs(rect_min, rect_max, radius, depths, W, H, tw, th)
     assert int(out.num_pairs) == len(expected)

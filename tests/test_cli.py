@@ -20,7 +20,7 @@ CONFIG = {
     "checkpoint_interval": 5,
     "model": {"sh_degree": 1, "initial_capacity": 256},
     "raster": {
-        "tile_h": 16, "tile_w": 16, "max_tiles_per_gaussian": 8,
+        "tile_h": 16, "tile_w": 16, 
         "max_pairs": 2048, "chunk_size": 32, "backend": "reference",
     },
     "densify": {"from_iter": 10**9},

@@ -19,7 +19,7 @@ from gaussiansplattingmlx_tpu.utils.camera import Camera
 
 GOLDEN = Path(__file__).parent / "golden_scene.npz"
 RASTER = RasterizerConfig(
-    tile_h=16, tile_w=16, max_tiles_per_gaussian=16, max_pairs=8192,
+    tile_h=16, tile_w=16, max_pairs=8192,
     chunk_size=32, backend="reference",
 )
 W = H = 64

@@ -48,7 +48,6 @@ def make_scene(rng, n=24, W=48, H=40, tw=16, th=8, opacity_range=(0.2, 0.9)):
         H,
         tw,
         th,
-        max_tiles_per_gaussian=32,
         max_pairs=512,
     )
     return packed, b, (W, H, tw, th)

@@ -38,7 +38,6 @@ def make_scene(rng, n=20, W=32, H=32, tw=16, th=16, opacity_range=(0.2, 0.9)):
         H,
         tw,
         th,
-        max_tiles_per_gaussian=16,
         max_pairs=1024,
     )
     return packed, b, (W, H, tw, th)
@@ -119,7 +118,7 @@ def test_single_gaussian_analytic():
         jnp.asarray([[15.0, 15.0]]),
         jnp.asarray([6.0]),
         jnp.asarray([2.0]),
-        W, H, 16, 16, 4, 16,
+        W, H, 16, 16, 16,
     )
     out = rasterize_ref.rasterize_reference(
         packed, b.sorted_gauss_idx, b.sorted_tile_id, W, H, 16, 16

@@ -30,7 +30,7 @@ from test_train_smoke import RASTER, W, H, orbit_cameras, synth_scene
 # row-major tile prefix, which differs between band-local and full-image
 # binning and would break the band==full equivalence being tested.
 RASTER8 = dataclasses.replace(
-    RASTER, tile_h=8, tile_w=8, max_tiles_per_gaussian=64, max_pairs=16384
+    RASTER, tile_h=8, tile_w=8, max_pairs=16384
 )
 
 

@@ -25,7 +25,7 @@ from gaussiansplattingmlx_tpu.utils.point_cloud import PointCloud
 
 W, H = 48, 48
 RASTER = RasterizerConfig(
-    tile_h=16, tile_w=16, max_tiles_per_gaussian=16, max_pairs=4096,
+    tile_h=16, tile_w=16, max_pairs=4096,
     chunk_size=32, backend="reference",
 )
 

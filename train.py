@@ -44,6 +44,19 @@ def parse_args(argv=None):
     p.add_argument("--lambda-depth", type=float, default=None)
     p.add_argument("--no-center", action="store_true",
                    help="skip point-cloud centering")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="mesh 'data' axis size: one camera view per device "
+                        "per step, gradients pmean'd over ICI (0 = all "
+                        "remaining devices)")
+    p.add_argument("--tile-parallel", type=int, default=None,
+                   help="mesh 'tile' axis size: split each camera's pixel "
+                        "rows into this many bands (exact seam handling)")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a jax.distributed cluster (reads "
+                        "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                        "JAX_PROCESS_ID, or TPU-pod auto-discovery); each "
+                        "process keeps a host-local view store and only "
+                        "gradients cross DCN")
     return p.parse_args(argv)
 
 
@@ -53,6 +66,11 @@ def main(argv=None):
     from gaussiansplattingmlx_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+
+    if args.multihost:
+        from gaussiansplattingmlx_tpu.parallel import multihost
+
+        multihost.initialize()
 
     from gaussiansplattingmlx_tpu.config import (
         LossConfig, ModelConfig, TrainConfig,
@@ -67,6 +85,11 @@ def main(argv=None):
     loss_cfg = cfg.loss
     if args.lambda_depth is not None:
         loss_cfg = dataclasses.replace(loss_cfg, lambda_depth=args.lambda_depth)
+    par_cfg = cfg.parallel
+    if args.data_parallel is not None:
+        par_cfg = dataclasses.replace(par_cfg, data_parallel=args.data_parallel)
+    if args.tile_parallel is not None:
+        par_cfg = dataclasses.replace(par_cfg, tile_parallel=args.tile_parallel)
     cfg = dataclasses.replace(
         cfg,
         iterations=args.iterations,
@@ -76,6 +99,7 @@ def main(argv=None):
         seed=args.seed,
         output_dir=args.output,
         loss=loss_cfg,
+        parallel=par_cfg,
         model=dataclasses.replace(
             cfg.model, sh_degree=args.sh_degree, max_gaussians=args.max_gaussians
         ),
@@ -113,9 +137,13 @@ def main(argv=None):
         flush=True,
     )
 
+    import jax
+
+    is_writer = jax.process_index() == 0
     out_dir = Path(args.output)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    (out_dir / "config.json").write_text(cfg.to_json())
+    if is_writer:
+        out_dir.mkdir(parents=True, exist_ok=True)
+        (out_dir / "config.json").write_text(cfg.to_json())
 
     trainer = Trainer(cfg, data, pcd, backend=args.backend)
     if args.resume:
@@ -123,11 +151,13 @@ def main(argv=None):
         print(f"resumed from {args.resume} at step {int(trainer.state.step)}")
 
     csv_path = out_dir / "metrics.csv"
-    csv_file = open(csv_path, "a", newline="")
+    csv_file = open(csv_path, "a", newline="") if is_writer else None
     writer = None
 
     def on_metrics(m):
         nonlocal writer
+        if not is_writer:
+            return
         if writer is None:
             writer = csv.DictWriter(csv_file, fieldnames=sorted(m.keys()))
             if csv_file.tell() == 0:
@@ -145,8 +175,9 @@ def main(argv=None):
     trainer.save_loss_curve()
     trainer.save_snapshot(int(trainer.state.step))
     trainer.save_checkpoint(int(trainer.state.step))
-    print("final:", json.dumps(final))
-    csv_file.close()
+    if is_writer:
+        print("final:", json.dumps(final))
+        csv_file.close()
 
 
 if __name__ == "__main__":
