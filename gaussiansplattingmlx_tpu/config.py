@@ -62,6 +62,11 @@ class RasterizerConfig:
     # Backend: "pallas" (TPU), "reference" (pure-JAX oracle).  "auto" picks
     # pallas on TPU and the oracle elsewhere.
     backend: str = "auto"
+    # Pair staging for the pallas backend: "fused" runs binning + sort +
+    # chunk-aligned relayout as one wide-payload pipeline (ops/staging.py,
+    # 3 indexed passes), "split" keeps the original binning + relayout
+    # (4 indexed passes; also the parity oracle for the fused path).
+    staging: str = "fused"
 
 
 @dataclasses.dataclass(frozen=True)

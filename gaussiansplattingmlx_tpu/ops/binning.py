@@ -93,7 +93,21 @@ def _tile_bounds(rect_min, rect_max, tile_w, tile_h, grid_w, grid_h):
     return tmin_x, tmin_y, tmax_x, tmax_y
 
 
-def bin_gaussians(
+class PairExpansion(NamedTuple):
+    """Shared pair-expansion state (used by bin_gaussians and ops/staging)."""
+
+    rank: jax.Array  # [max_pairs] compacted-gaussian rank per pair slot
+    keep_idx: jax.Array  # [n] compaction permutation (actives first)
+    tmin_x: jax.Array  # [n]
+    tmin_y: jax.Array  # [n]
+    rw: jax.Array  # [n] rect width in tiles (>=1 where active)
+    block_start: jax.Array  # [n] first pair slot of each gaussian's block
+    num_pairs: jax.Array  # []
+    overflow_gaussians: jax.Array  # []
+    overflow_pairs: jax.Array  # []
+
+
+def expand_pairs(
     rect_min: jax.Array,
     rect_max: jax.Array,
     radii: jax.Array,
@@ -103,16 +117,17 @@ def bin_gaussians(
     tile_w: int,
     tile_h: int,
     max_pairs: int,
-) -> TileBinning:
+) -> PairExpansion:
+    """Exact (gaussian, tile) pair expansion onto the static pair axis:
+    footprints, saturating cumsum, compaction and the pair->gaussian merge.
+    Integer/stop-grad only."""
     n = rect_min.shape[0]
     grid_w = -(-image_width // tile_w)
     grid_h = -(-image_height // tile_h)
-    num_tiles = grid_w * grid_h
 
     rect_min = jax.lax.stop_gradient(rect_min)
     rect_max = jax.lax.stop_gradient(rect_max)
     radii = jax.lax.stop_gradient(radii)
-    depths = jax.lax.stop_gradient(depths)
 
     tmin_x, tmin_y, tmax_x, tmax_y = _tile_bounds(
         rect_min, rect_max, float(tile_w), float(tile_h), grid_w, grid_h
@@ -150,7 +165,7 @@ def bin_gaussians(
     sort_key, keep_idx = jax.lax.sort(
         (active_key, slot_iota), num_keys=1, is_stable=True
     )
-    cum_keep = jnp.where(sort_key == 0, cum[keep_idx], _CUM_CLAMP)
+    cum_keep = jnp.where(sort_key == 0, cum[keep_idx], _CUM_CLAMP + 1)
 
     p = jnp.arange(max_pairs, dtype=jnp.int32)
     merge_mode = os.environ.get("GSPLAT_MERGE", "auto")
@@ -166,6 +181,58 @@ def bin_gaussians(
             cum_keep, p, side="right", method="sort"
         ).astype(jnp.int32)
     rank = jnp.minimum(rank, n - 1)
+    return PairExpansion(
+        rank=rank, keep_idx=keep_idx,
+        tmin_x=tmin_x, tmin_y=tmin_y, rw=jnp.maximum(rw, 1),
+        block_start=cum - footprint,
+        num_pairs=num_pairs,
+        overflow_gaussians=overflow_gaussians,
+        overflow_pairs=overflow_pairs,
+    )
+
+
+def enumerate_tiles(g_block_start, g_rw, g_tmin_x, g_tmin_y, grid_w):
+    """Per-pair tile coordinates from the gathered per-gaussian columns:
+    the pair's offset inside its block enumerates the rect row-major.
+
+    Integer div/mod has no VPU hardware path (expands to a long op sequence
+    over the [max_pairs] axis); exact float division instead: local = q*rw + r
+    with 0 <= r < rw  =>  (local+0.5)/rw lies strictly inside (q, q+1), so the
+    floor is exactly q for any rw <= 2^22."""
+    p = jnp.arange(g_block_start.shape[0], dtype=jnp.int32)
+    local = p - g_block_start
+    q = jnp.floor(
+        (local.astype(jnp.float32) + 0.5) / g_rw.astype(jnp.float32)
+    ).astype(jnp.int32)
+    ty = g_tmin_y + q
+    tx = g_tmin_x + (local - q * g_rw)
+    return ty * grid_w + tx
+
+
+def bin_gaussians(
+    rect_min: jax.Array,
+    rect_max: jax.Array,
+    radii: jax.Array,
+    depths: jax.Array,
+    image_width: int,
+    image_height: int,
+    tile_w: int,
+    tile_h: int,
+    max_pairs: int,
+) -> TileBinning:
+    n = rect_min.shape[0]
+    grid_w = -(-image_width // tile_w)
+    grid_h = -(-image_height // tile_h)
+    num_tiles = grid_w * grid_h
+
+    depths = jax.lax.stop_gradient(depths)
+    e = expand_pairs(
+        rect_min, rect_max, radii, depths,
+        image_width, image_height, tile_w, tile_h, max_pairs,
+    )
+    rank, keep_idx = e.rank, e.keep_idx
+    num_pairs = e.num_pairs
+    p = jnp.arange(max_pairs, dtype=jnp.int32)
     valid = p < num_pairs
     # One 8-wide row gather for every per-pair per-gaussian quantity: TPU
     # gathers cost ~6.5 ns per INDEX almost independently of row width, so
@@ -175,33 +242,23 @@ def bin_gaussians(
     # cheap) with the ORIGINAL gaussian id in column 5.
     table = jnp.stack(
         [
-            tmin_x[keep_idx],
-            tmin_y[keep_idx],
-            jnp.maximum(rw, 1)[keep_idx],
-            (cum - footprint)[keep_idx],  # block start
+            e.tmin_x[keep_idx],
+            e.tmin_y[keep_idx],
+            e.rw[keep_idx],
+            e.block_start[keep_idx],
             jax.lax.bitcast_convert_type(
                 depths.astype(jnp.float32), jnp.int32
             )[keep_idx],
             keep_idx,
-            jnp.zeros_like(tmin_x),
-            jnp.zeros_like(tmin_x),
+            jnp.zeros_like(e.tmin_x),
+            jnp.zeros_like(e.tmin_x),
         ],
         axis=1,
     )  # [n, 8] int32, compacted order
     g = table[rank]
-    local = p - g[:, 3]
-    # Integer div/mod has no VPU hardware path (expands to a long op
-    # sequence over the [max_pairs] axis); exact float division instead:
-    # local = q*rw + r with 0 <= r < rw  =>  (local+0.5)/rw lies strictly
-    # inside (q, q+1), so the floor is exactly q for any rw <= 2^22.
-    srw = g[:, 2]
-    q = jnp.floor(
-        (local.astype(jnp.float32) + 0.5) / srw.astype(jnp.float32)
-    ).astype(jnp.int32)
-    ty = g[:, 1] + q
-    tx = g[:, 0] + (local - q * srw)
+    tiles = enumerate_tiles(g[:, 3], g[:, 2], g[:, 0], g[:, 1], grid_w)
     depth_g = jax.lax.bitcast_convert_type(g[:, 4], jnp.float32)
-    tile_ids = jnp.where(valid, ty * grid_w + tx, num_tiles)
+    tile_ids = jnp.where(valid, tiles, num_tiles)
     depth_keys = jnp.where(valid, depth_g, jnp.inf)
     gauss_ids = jnp.where(valid, g[:, 5], 0)
 
@@ -227,7 +284,7 @@ def bin_gaussians(
         tile_start=tile_start,
         tile_count=tile_count,
         num_pairs=num_pairs,
-        overflow_gaussians=overflow_gaussians,
-        overflow_pairs=overflow_pairs,
+        overflow_gaussians=e.overflow_gaussians,
+        overflow_pairs=e.overflow_pairs,
         pair_valid=pair_valid,
     )

@@ -766,11 +766,13 @@ def rasterize_pallas(
     records_cm = _gather_records(gst, rec, aligned_idx, aligned_valid)
 
     out = _raster_core(st, records_cm, aligned_start, tile_count)  # [T, 6, TT]
+    return _untile(out, st, image_width, image_height)
 
-    # --- un-tile to images --------------------------------------------------
-    x = out.reshape(grid_h, grid_w, OUT_CHANNELS, tile_h, tile_w)
+
+def _untile(out, st: RasterStatic, image_width: int, image_height: int):
+    x = out.reshape(st.grid_h, st.grid_w, OUT_CHANNELS, st.tile_h, st.tile_w)
     x = x.transpose(2, 0, 3, 1, 4).reshape(
-        OUT_CHANNELS, grid_h * tile_h, grid_w * tile_w
+        OUT_CHANNELS, st.grid_h * st.tile_h, st.grid_w * st.tile_w
     )
     x = x[:, :image_height, :image_width]
     return RenderOutputs(
@@ -779,3 +781,43 @@ def rasterize_pallas(
         alpha=x[4],
         n_contrib=x[5].astype(jnp.int32),
     )
+
+
+def rasterize_staged(
+    records_cm: jax.Array,
+    aligned_start: jax.Array,
+    tile_count: jax.Array,
+    image_width: int,
+    image_height: int,
+    tile_w: int,
+    tile_h: int,
+    *,
+    chunk_size: int = 128,
+    alpha_clamp: float = 0.99,
+    transmittance_eps: float = 1e-4,
+    undo_denom_floor: float = 1e-6,
+    interpret: bool = False,
+) -> RenderOutputs:
+    """Rasterize a pre-staged chunk-aligned record buffer (ops/staging.py):
+    the fused staging path already produced kernel-layout records with its own
+    custom-VJP gradient reduction, so this is just the raster core + untile."""
+    grid_w = -(-image_width // tile_w)
+    grid_h = -(-image_height // tile_h)
+    if not interpret:
+        assert chunk_size % 128 == 0, (
+            "compiled rasterizer requires chunk_size % 128 == 0"
+        )
+    st = RasterStatic(
+        chunk=chunk_size,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        grid_h=grid_h,
+        grid_w=grid_w,
+        num_aligned=records_cm.shape[1],
+        alpha_clamp=alpha_clamp,
+        transmittance_eps=transmittance_eps,
+        undo_denom_floor=undo_denom_floor,
+        interpret=interpret,
+    )
+    out = _raster_core(st, records_cm, aligned_start, tile_count)
+    return _untile(out, st, image_width, image_height)

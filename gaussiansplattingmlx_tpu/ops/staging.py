@@ -1,0 +1,256 @@
+"""Fused pair staging: binning + sort + chunk-aligned relayout in ONE pass.
+
+The split pipeline (ops/binning.py + the relayout in ops/rasterize_pallas.py)
+pays four [max_pairs]-scale index operations between projection and the
+rasterizer kernel — measured on v5e (docs/DESIGN.md roofline, 2M budget):
+
+    table row-gather (binning)          ~13 ms
+    3-column pair sort                  ~8-12 ms
+    sorted_gauss_idx[src] relayout      ~14 ms   (gathers cost ~6.5 ns/INDEX,
+    rec[aligned_idx] record row-gather  ~13 ms    nearly independent of width)
+
+Because TPU gather cost is per-index — a 24-wide row costs the same as an
+8-wide row — and lax.sort scales sub-linearly in payload columns (17 columns
+at 1.3M rows: 5.7 ms), the four operations fuse into three with strictly
+fewer indexed elements:
+
+    1. ONE wide-table row-gather: the per-gaussian table carries the tile
+       rect columns AND the 11 packed record floats (bitcast), so the pair
+       stream holds everything downstream needs.
+    2. ONE sort on (tile, depth) carrying the records + gaussian id as
+       payloads — the pairs land in composite order with their records.
+    3. ONE [num_aligned] row-gather for the chunk-aligned relayout, emitting
+       the kernel-layout record buffer directly.
+
+Differentiability: staging is index machinery around ONE linear read of the
+packed records, so the whole pipeline is a custom_vjp whose backward is the
+per-Gaussian segment reduction (sort + MXU segment-sum kernel,
+rasterize_pallas._segment_reduce_pallas) applied to the record-buffer
+cotangent — gradients never differentiate through the sort itself.
+Exactness vs the split pipeline is asserted bit-for-bit in
+tests/test_staging.py (same keys, same stable sort, same emission order).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import binning as binning_mod
+from . import rasterize_pallas as rp
+
+# packed [N, 11] reference layout -> kernel record layout (depth/op swapped);
+# an involution, so it is its own inverse in the backward pass.
+_PERM = (0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 9)
+
+
+class StagingStatic(NamedTuple):
+    """Hashable static config for the fused staging custom_vjp."""
+
+    image_width: int
+    image_height: int
+    tile_w: int
+    tile_h: int
+    max_pairs: int
+    chunk: int  # rasterizer chunk (alignment quantum)
+    num_rec: int  # N
+    grad_reduce: str  # "segsum" | "scatter"
+    interpret: bool
+
+
+class StagedPairs(NamedTuple):
+    records_cm: jax.Array  # [16, num_aligned] kernel-layout record buffer
+    aligned_start: jax.Array  # [num_tiles] chunk-aligned column starts
+    tile_count: jax.Array  # [num_tiles] real pairs per tile
+    num_pairs: jax.Array  # []
+    overflow_gaussians: jax.Array  # []
+    overflow_pairs: jax.Array  # []
+
+
+def _num_aligned(st: StagingStatic) -> int:
+    grid_w = -(-st.image_width // st.tile_w)
+    grid_h = -(-st.image_height // st.tile_h)
+    return st.max_pairs + grid_w * grid_h * st.chunk
+
+
+def _stage_impl(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
+    n = packed.shape[0]
+    grid_w = -(-st.image_width // st.tile_w)
+    grid_h = -(-st.image_height // st.tile_h)
+    num_tiles = grid_w * grid_h
+    C = st.chunk
+
+    depths = jax.lax.stop_gradient(depths)
+    e = binning_mod.expand_pairs(
+        rect_min, rect_max, radii, depths,
+        st.image_width, st.image_height, st.tile_w, st.tile_h, st.max_pairs,
+    )
+    keep = e.keep_idx
+
+    # --- 1. wide per-gaussian table (compacted order), ONE [P] row gather ---
+    rec_kernel = packed[:, list(_PERM)]  # [N, 11] kernel component order
+    rec_bits = jax.lax.bitcast_convert_type(
+        rec_kernel.astype(jnp.float32), jnp.int32
+    )
+    table = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    e.tmin_x[keep], e.tmin_y[keep], e.rw[keep],
+                    e.block_start[keep],
+                    jax.lax.bitcast_convert_type(
+                        depths.astype(jnp.float32), jnp.int32
+                    )[keep],
+                    keep,
+                ],
+                axis=1,
+            ),
+            rec_bits[keep],
+            jnp.zeros((n, 7), jnp.int32),  # pad to 24 (row width ~free)
+        ],
+        axis=1,
+    )  # [n, 24] int32
+    g = table[e.rank]  # [max_pairs, 24]
+
+    p = jnp.arange(st.max_pairs, dtype=jnp.int32)
+    valid = p < e.num_pairs
+    tiles = binning_mod.enumerate_tiles(
+        g[:, 3], g[:, 2], g[:, 0], g[:, 1], grid_w
+    )
+    tile_ids = jnp.where(valid, tiles, num_tiles)
+    depth_keys = jnp.where(
+        valid, jax.lax.bitcast_convert_type(g[:, 4], jnp.float32), jnp.inf
+    )
+    gid = jnp.where(valid, g[:, 5], 0)
+
+    # --- 2. ONE stable sort on (tile, depth) with records as payloads -------
+    # Identical keys + stable + identical gaussian-major input order as the
+    # split pipeline => identical permutation (bit-exact parity).
+    sorted_cols = jax.lax.sort(
+        (tile_ids, depth_keys) + tuple(g[:, 6 + i] for i in range(11)) + (gid,),
+        num_keys=2,
+        is_stable=True,
+    )
+    sorted_tile = sorted_cols[0]
+    tile_iota = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(
+        sorted_tile, tile_iota, side="left"
+    ).astype(jnp.int32)
+    tile_end = jnp.searchsorted(
+        sorted_tile, tile_iota, side="right"
+    ).astype(jnp.int32)
+    tile_count = tile_end - tile_start
+
+    # Sorted pair table [max_pairs, 16]: 11 record components, gid bits in
+    # column 11 (the kernels never read past column 10), zero tail.
+    sorted_table = jnp.stack(
+        [jax.lax.bitcast_convert_type(c, jnp.float32) for c in sorted_cols[2:13]]
+        + [jax.lax.bitcast_convert_type(sorted_cols[13], jnp.float32)]
+        + [jnp.zeros_like(depth_keys)] * (rp.REC_DIM - 12),
+        axis=1,
+    )
+
+    # --- 3. chunk-aligned relayout, ONE [num_aligned] row gather -------------
+    # Every C-slot chunk has exactly one owning tile, so owner math runs per
+    # CHUNK and broadcasts (per-slot searchsorted lowers to serial loops).
+    num_aligned = _num_aligned(st)
+    nchunks_per_tile = -(-tile_count // C)
+    aligned_sizes = nchunks_per_tile * C
+    aligned_start = (jnp.cumsum(aligned_sizes) - aligned_sizes).astype(jnp.int32)
+    nchunks_total = num_aligned // C
+    chunk_first_slot = jnp.arange(nchunks_total, dtype=jnp.int32) * C
+    owner_c = jnp.clip(
+        jnp.searchsorted(
+            aligned_start, chunk_first_slot, side="right"
+        ).astype(jnp.int32) - 1,
+        0,
+        num_tiles - 1,
+    )
+    astart_c = aligned_start[owner_c]
+    count_c = tile_count[owner_c]
+    tstart_c = tile_start[owner_c]
+    slot = jnp.arange(num_aligned, dtype=jnp.int32).reshape(nchunks_total, C)
+    rank = slot - astart_c[:, None]
+    within = (rank < count_c[:, None]).reshape(-1)
+    src = jnp.where(within, (tstart_c[:, None] + rank).reshape(-1), 0)
+
+    aligned = sorted_table[src]  # [num_aligned, 16] row gather
+    # Select-form masking: garbage in never-written tails cannot reach the
+    # gradient (0 * NaN would).
+    aligned = jnp.where(within[:, None], aligned, 0.0)
+    gid_aligned = jnp.where(
+        within,
+        jax.lax.bitcast_convert_type(aligned[:, 11], jnp.int32),
+        st.num_rec,
+    ).astype(jnp.int32)
+    records_cm = aligned.T
+
+    staged = StagedPairs(
+        records_cm=records_cm,
+        aligned_start=aligned_start,
+        tile_count=tile_count,
+        num_pairs=e.num_pairs,
+        overflow_gaussians=e.overflow_gaussians,
+        overflow_pairs=e.overflow_pairs,
+    )
+    return staged, gid_aligned
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def stage_pairs(
+    st: StagingStatic, packed, rect_min, rect_max, radii, depths
+) -> StagedPairs:
+    staged, _ = _stage_impl(st, packed, rect_min, rect_max, radii, depths)
+    return staged
+
+
+def _stage_fwd(st, packed, rect_min, rect_max, radii, depths):
+    staged, gid_aligned = _stage_impl(
+        st, packed, rect_min, rect_max, radii, depths
+    )
+    return staged, gid_aligned
+
+
+def _stage_bwd(st, gid_aligned, cot: StagedPairs):
+    """d packed = per-Gaussian segment reduction of the record-buffer
+    cotangent — the same reduction the split pipeline's gather transpose
+    performs (sort + MXU segment sum, or the XLA scatter-add fallback)."""
+    g_cm = cot.records_cm
+    num_aligned = g_cm.shape[1]
+    if st.grad_reduce == "segsum":
+        seg_chunk = next(
+            (c for c in (512, 256, 128, st.chunk) if num_aligned % c == 0), 0
+        )
+    else:
+        seg_chunk = 0
+    if seg_chunk:
+        sst = rp.SegsumStatic(
+            num_rec=st.num_rec, num_aligned=num_aligned,
+            chunk=seg_chunk, block_b=128, interpret=st.interpret,
+        )
+        grad_rec = rp._segment_reduce_pallas(sst, g_cm, gid_aligned)
+    else:
+        valid = gid_aligned < st.num_rec
+        rows = jnp.where(valid[:, None], g_cm.T, 0.0)
+        idx = jnp.where(valid, gid_aligned, 0)
+        grad_rec = jnp.zeros((st.num_rec, rp.REC_DIM), jnp.float32).at[
+            idx
+        ].add(jnp.where(valid[:, None], rows, 0.0))
+    # Kernel layout -> packed layout (the perm is an involution).
+    d_packed = grad_rec[:, list(_PERM)]
+    # Geometry inputs are stop-gradient staging machinery (the split pipeline
+    # stop-grads them inside binning): zero cotangents, same semantics.
+    n = st.num_rec
+    return (
+        d_packed,
+        jnp.zeros((n, 2), jnp.float32),  # rect_min
+        jnp.zeros((n, 2), jnp.float32),  # rect_max
+        jnp.zeros((n,), jnp.float32),  # radii
+        jnp.zeros((n,), jnp.float32),  # depths
+    )
+
+
+stage_pairs.defvjp(_stage_fwd, _stage_bwd)

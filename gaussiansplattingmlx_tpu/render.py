@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from .config import RasterizerConfig
 from .ops import binning as binning_mod
 from .ops import projection, rasterize_pallas, rasterize_ref
+from .ops import staging as staging_mod
 from .ops.rasterize_ref import RenderOutputs
 
 
@@ -112,6 +113,59 @@ def render(
             axis=-1,
         )
 
+    packed = rasterize_ref.pack_gaussians(
+        means2d, p.conic, p.colors, opacity, p.depths
+    )
+
+    if backend in ("pallas", "pallas_interpret") and cfg.staging == "fused":
+        # Fused staging (ops/staging.py): binning + sort + aligned relayout
+        # as one wide-payload pipeline with its own gradient reduction.
+        sst = staging_mod.StagingStatic(
+            image_width=image_width,
+            image_height=image_height,
+            tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
+            max_pairs=cfg.max_pairs,
+            chunk=cfg.chunk_size,
+            num_rec=packed.shape[0],
+            grad_reduce=cfg.grad_reduce,
+            interpret=backend == "pallas_interpret",
+        )
+        staged = staging_mod.stage_pairs(
+            sst, packed, rect_min, rect_max, p.radii, p.depths
+        )
+        out = rasterize_pallas.rasterize_staged(
+            staged.records_cm,
+            staged.aligned_start,
+            staged.tile_count,
+            image_width,
+            image_height,
+            cfg.tile_w,
+            cfg.tile_h,
+            chunk_size=cfg.chunk_size,
+            alpha_clamp=cfg.alpha_clamp,
+            transmittance_eps=cfg.transmittance_eps,
+            undo_denom_floor=cfg.undo_denom_floor,
+            interpret=backend == "pallas_interpret",
+        )
+        color = rasterize_ref.apply_background(
+            out.color, out.alpha, white_background
+        )
+        out = RenderOutputs(
+            color=color, depth=out.depth, alpha=out.alpha,
+            n_contrib=out.n_contrib,
+        )
+        aux = RenderAux(
+            radii=p.radii,
+            num_pairs=staged.num_pairs,
+            overflow_gaussians=staged.overflow_gaussians,
+            overflow_pairs=staged.overflow_pairs,
+            means2d=p.means2d,
+            tile_depth_mean=jnp.mean(staged.tile_count.astype(jnp.float32)),
+            tile_depth_max=jnp.max(staged.tile_count),
+        )
+        return out, aux
+
     b = binning_mod.bin_gaussians(
         rect_min,
         rect_max,
@@ -122,10 +176,6 @@ def render(
         cfg.tile_w,
         cfg.tile_h,
         cfg.max_pairs,
-    )
-
-    packed = rasterize_ref.pack_gaussians(
-        means2d, p.conic, p.colors, opacity, p.depths
     )
 
     if backend == "reference":

@@ -1,0 +1,213 @@
+"""Fused staging (ops/staging.py) vs the split pipeline: bit-exact parity.
+
+The fused path must reproduce the split path's chunk-aligned record buffer
+bit-for-bit (same keys, same stable sort, same emission order) and its
+gradients must match the split path's gather-transpose reduction exactly.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussiansplattingmlx_tpu.config import RasterizerConfig
+from gaussiansplattingmlx_tpu.models import gaussians
+from gaussiansplattingmlx_tpu.ops import binning, rasterize_ref, staging
+from gaussiansplattingmlx_tpu.ops import rasterize_pallas as rp
+from gaussiansplattingmlx_tpu.render import render
+from gaussiansplattingmlx_tpu.utils.camera import Camera
+
+W, H = 48, 48
+TILE = 16
+CHUNK = 32
+MAX_PAIRS = 4096
+
+
+def scene(n=80, seed=3):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    cols = rng.uniform(0.1, 0.9, size=(n, 3)).astype(np.float32)
+    params, _ = gaussians.create_from_points(pts, cols, sh_degree=0, capacity=n)
+    params = dataclasses.replace(
+        params,
+        scales=jnp.asarray(
+            np.log(rng.uniform(0.05, 0.25, size=(n, 3))).astype(np.float32)
+        ),
+        opacity=jnp.asarray(rng.normal(0.5, 1.0, size=(n, 1)).astype(np.float32)),
+    )
+    c2w = np.eye(4)
+    c2w[2, 3] = -4.0
+    cam = Camera.from_c2w(W, H, 60.0, 60.0, c2w)
+    return params, cam
+
+
+def _split_records(packed, rect_min, rect_max, radii, depths):
+    """The split pipeline's aligned record buffer (bin_gaussians + the
+    relayout from rasterize_pallas), replicated as the parity oracle."""
+    b = binning.bin_gaussians(
+        rect_min, rect_max, radii, depths, W, H, TILE, TILE, MAX_PAIRS
+    )
+    grid_w = -(-W // TILE)
+    grid_h = -(-H // TILE)
+    num_tiles = grid_w * grid_h
+    C = CHUNK
+    num_aligned = MAX_PAIRS + num_tiles * C
+    nchunks_per_tile = -(-b.tile_count // C)
+    sizes = nchunks_per_tile * C
+    aligned_start = (jnp.cumsum(sizes) - sizes).astype(jnp.int32)
+    nchunks_total = num_aligned // C
+    first = jnp.arange(nchunks_total, dtype=jnp.int32) * C
+    owner = jnp.clip(
+        jnp.searchsorted(aligned_start, first, side="right").astype(jnp.int32) - 1,
+        0, num_tiles - 1,
+    )
+    slot = jnp.arange(num_aligned, dtype=jnp.int32).reshape(nchunks_total, C)
+    rank = slot - aligned_start[owner][:, None]
+    within = (rank < b.tile_count[owner][:, None]).reshape(-1)
+    src = jnp.where(within, (b.tile_start[owner][:, None] + rank).reshape(-1), 0)
+    aligned_idx = jnp.where(within, b.sorted_gauss_idx[src], 0)
+    perm = jnp.asarray([0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 9], jnp.int32)
+    rec = packed[:, perm]
+    rec = jnp.concatenate(
+        [rec, jnp.zeros((rec.shape[0], rp.REC_DIM - 11), rec.dtype)], axis=1
+    )
+    gathered = jnp.where(within[:, None], rec[aligned_idx], 0.0)
+    return gathered.T, aligned_start, b, aligned_idx, within
+
+
+def _staged(packed, rect_min, rect_max, radii, depths):
+    st = staging.StagingStatic(
+        image_width=W, image_height=H, tile_w=TILE, tile_h=TILE,
+        max_pairs=MAX_PAIRS, chunk=CHUNK, num_rec=packed.shape[0],
+        grad_reduce="scatter", interpret=True,
+    )
+    return st, staging.stage_pairs(
+        st, packed, rect_min, rect_max, radii, depths
+    )
+
+
+def _geometry(params, cam):
+    from gaussiansplattingmlx_tpu.ops import projection
+
+    means, shs, opacity, scales, rots = gaussians.activations(params)
+    t = cam.tensors()
+    p = projection.project_gaussians(
+        means, scales, rots, shs,
+        jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+        jnp.asarray(t["camera_center"]),
+        t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
+        W, H, 0,
+    )
+    packed = rasterize_ref.pack_gaussians(
+        p.means2d, p.conic, p.colors, opacity, p.depths
+    )
+    return p, packed
+
+
+def test_staged_records_bit_exact():
+    params, cam = scene()
+    p, packed = _geometry(params, cam)
+    split_cm, split_start, b, _, _ = _split_records(
+        packed, p.rect_min, p.rect_max, p.radii, p.depths
+    )
+    _, staged = _staged(packed, p.rect_min, p.rect_max, p.radii, p.depths)
+    # Record components (rows 0-10) bit-identical; row 11 carries gid bits in
+    # the fused layout (the kernels never read it), rows 12-15 zero in both.
+    np.testing.assert_array_equal(
+        np.asarray(split_cm[:11]), np.asarray(staged.records_cm[:11])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(staged.records_cm[12:]), 0.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(split_start), np.asarray(staged.aligned_start)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b.tile_count), np.asarray(staged.tile_count)
+    )
+    assert int(staged.num_pairs) == int(b.num_pairs) > 0
+    assert int(staged.overflow_pairs) == int(b.overflow_pairs)
+
+
+def test_staged_gid_matches_split_aligned_idx():
+    params, cam = scene(seed=5)
+    p, packed = _geometry(params, cam)
+    _, _, _, aligned_idx, within = _split_records(
+        packed, p.rect_min, p.rect_max, p.radii, p.depths
+    )
+    st, staged = _staged(packed, p.rect_min, p.rect_max, p.radii, p.depths)
+    _, gid = staging._stage_impl(
+        st, packed, p.rect_min, p.rect_max, p.radii, p.depths
+    )
+    want = np.where(np.asarray(within), np.asarray(aligned_idx), packed.shape[0])
+    np.testing.assert_array_equal(np.asarray(gid), want)
+
+
+def test_fused_render_matches_split_bitwise():
+    """Full render through the interpret-mode pallas kernels: fused staging
+    == split staging, values AND gradients."""
+    params, cam = scene(seed=7)
+    t = cam.tensors()
+    target = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(H, W, 3)).astype(np.float32)
+    )
+
+    def loss_for(staging_mode):
+        cfg = RasterizerConfig(
+            tile_h=TILE, tile_w=TILE, max_pairs=MAX_PAIRS, chunk_size=CHUNK,
+            staging=staging_mode,
+        )
+
+        def f(ptuple):
+            pp = gaussians.GaussianParams.from_tuple(ptuple)
+            means, shs, opacity, scales, rots = gaussians.activations(pp)
+            out, aux = render(
+                means, shs, opacity, scales, rots,
+                jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+                jnp.asarray(t["camera_center"]),
+                t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
+                W, H, 0, raster_cfg=cfg, backend="pallas_interpret",
+            )
+            return jnp.sum((out.color - target) ** 2) + jnp.sum(out.depth), (
+                out, aux)
+
+        (loss, (out, aux)), grads = jax.value_and_grad(f, has_aux=True)(
+            params.as_tuple()
+        )
+        return loss, out, aux, grads
+
+    l1, o1, a1, g1 = loss_for("fused")
+    l2, o2, a2, g2 = loss_for("split")
+    np.testing.assert_array_equal(np.asarray(o1.color), np.asarray(o2.color))
+    np.testing.assert_array_equal(np.asarray(o1.depth), np.asarray(o2.depth))
+    np.testing.assert_array_equal(
+        np.asarray(o1.n_contrib), np.asarray(o2.n_contrib)
+    )
+    assert float(l1) == float(l2)
+    assert int(a1.num_pairs) == int(a2.num_pairs) > 0
+    for x, y in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_fused_render_overflow_budget():
+    """Fused staging under a biting pair budget: overflow counters match the
+    split path and the kept prefix renders identically."""
+    params, cam = scene(seed=11)
+    p, packed = _geometry(params, cam)
+    b = binning.bin_gaussians(
+        p.rect_min, p.rect_max, p.radii, p.depths, W, H, TILE, TILE, 64
+    )
+    st = staging.StagingStatic(
+        image_width=W, image_height=H, tile_w=TILE, tile_h=TILE,
+        max_pairs=64, chunk=CHUNK, num_rec=packed.shape[0],
+        grad_reduce="scatter", interpret=True,
+    )
+    staged = staging.stage_pairs(
+        st, packed, p.rect_min, p.rect_max, p.radii, p.depths
+    )
+    assert int(staged.overflow_pairs) == int(b.overflow_pairs) > 0
+    assert int(staged.num_pairs) == int(b.num_pairs) == 64
+    np.testing.assert_array_equal(
+        np.asarray(staged.tile_count), np.asarray(b.tile_count)
+    )
