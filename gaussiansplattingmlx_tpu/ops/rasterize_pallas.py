@@ -202,8 +202,16 @@ def _fwd_kernel(start_ref, count_ref, rec_hbm, out_ref, rec_vmem, sem, *, st: Ra
     C = st.chunk
     tt = st.tile_h * st.tile_w
     t = pl.program_id(0)
-    start = start_ref[t]  # chunk-aligned column offset
+    # Tile range [start, start+count).  `start` need NOT be chunk-aligned:
+    # the DMA sweep begins at the aligned floor and the head lanes before
+    # `start` are masked out (shift).  The training path passes aligned
+    # starts (shift == 0, identical behavior); the inference path skips the
+    # aligned relayout entirely and passes raw sorted-order starts.
+    start = start_ref[t]
     count = count_ref[t]
+    off = (start // C) * C
+    shift = start - off
+    count_w = shift + count  # masked window length from `off`
     basis = _tile_basis(st)  # (TT, 6)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     # Strictly-lower-triangular ones: exclusive prefix sums as one MXU matmul
@@ -213,11 +221,11 @@ def _fwd_kernel(start_ref, count_ref, rec_hbm, out_ref, rec_vmem, sem, *, st: Ra
     lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
     lt_excl = jnp.where(li < lj, 1.0, 0.0)
     eps = st.transmittance_eps
-    nchunks = pl.cdiv(count, C)
+    nchunks = pl.cdiv(count_w, C)
 
     @pl.when(nchunks > 0)
     def _():
-        _rec_copy(rec_hbm, rec_vmem, sem, start, 0, 0, C).start()
+        _rec_copy(rec_hbm, rec_vmem, sem, off, 0, 0, C).start()
 
     def cond(carry):
         ci, _, _, _, alive = carry
@@ -226,15 +234,16 @@ def _fwd_kernel(start_ref, count_ref, rec_hbm, out_ref, rec_vmem, sem, *, st: Ra
     def body(carry):
         ci, t_in, acc4, ncon, _ = carry
         slot = jax.lax.rem(ci, 2)
-        _rec_copy(rec_hbm, rec_vmem, sem, start, ci, slot, C).wait()
+        _rec_copy(rec_hbm, rec_vmem, sem, off, ci, slot, C).wait()
 
         # Prefetch the next chunk while this one computes.
         @pl.when(ci + 1 < nchunks)
         def _():
-            _rec_copy(rec_hbm, rec_vmem, sem, start, ci + 1, 1 - slot, C).start()
+            _rec_copy(rec_hbm, rec_vmem, sem, off, ci + 1, 1 - slot, C).start()
 
         rec = rec_vmem[slot]
-        valid = (lane_iota + ci * C) < count  # (1, C)
+        lane_g = lane_iota + ci * C
+        valid = jnp.logical_and(lane_g >= shift, lane_g < count_w)  # (1, C)
         a, _, _ = _chunk_alpha_mxu(rec, basis, t, valid, st)
         om = 1.0 - a  # 1 for invalid lanes
         # Exclusive prefix product via log + triangular matmul + exp.
@@ -271,7 +280,7 @@ def _fwd_kernel(start_ref, count_ref, rec_hbm, out_ref, rec_vmem, sem, *, st: Ra
     @pl.when(final_ci < nchunks)
     def _():
         _rec_copy(
-            rec_hbm, rec_vmem, sem, start, final_ci, jax.lax.rem(final_ci, 2), C
+            rec_hbm, rec_vmem, sem, off, final_ci, jax.lax.rem(final_ci, 2), C
         ).wait()
 
     alpha = (1.0 - t_fin).reshape(1, tt)

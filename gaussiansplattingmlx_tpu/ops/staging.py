@@ -76,12 +76,13 @@ def _num_aligned(st: StagingStatic) -> int:
     return st.max_pairs + grid_w * grid_h * st.chunk
 
 
-def _stage_impl(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
+def _sorted_pairs(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
+    """Steps 1-2: wide-table gather + payload sort.  Returns
+    (sorted_cols, tile_start, tile_count, expansion)."""
     n = packed.shape[0]
     grid_w = -(-st.image_width // st.tile_w)
     grid_h = -(-st.image_height // st.tile_h)
     num_tiles = grid_w * grid_h
-    C = st.chunk
 
     depths = jax.lax.stop_gradient(depths)
     e = binning_mod.expand_pairs(
@@ -143,13 +144,24 @@ def _stage_impl(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
         sorted_tile, tile_iota, side="right"
     ).astype(jnp.int32)
     tile_count = tile_end - tile_start
+    return sorted_cols, tile_start, tile_count, e
+
+
+def _stage_impl(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
+    grid_w = -(-st.image_width // st.tile_w)
+    grid_h = -(-st.image_height // st.tile_h)
+    num_tiles = grid_w * grid_h
+    C = st.chunk
+    sorted_cols, tile_start, tile_count, e = _sorted_pairs(
+        st, packed, rect_min, rect_max, radii, depths
+    )
 
     # Sorted pair table [max_pairs, 16]: 11 record components, gid bits in
     # column 11 (the kernels never read past column 10), zero tail.
     sorted_table = jnp.stack(
         [jax.lax.bitcast_convert_type(c, jnp.float32) for c in sorted_cols[2:13]]
         + [jax.lax.bitcast_convert_type(sorted_cols[13], jnp.float32)]
-        + [jnp.zeros_like(depth_keys)] * (rp.REC_DIM - 12),
+        + [jnp.zeros((st.max_pairs,), jnp.float32)] * (rp.REC_DIM - 12),
         axis=1,
     )
 
@@ -254,3 +266,49 @@ def _stage_bwd(st, gid_aligned, cot: StagedPairs):
 
 
 stage_pairs.defvjp(_stage_fwd, _stage_bwd)
+
+
+class SortedPairs(NamedTuple):
+    records_cm: jax.Array  # [16, max_pairs + chunk] SORTED-order records
+    tile_start: jax.Array  # [num_tiles] raw (unaligned) starts
+    tile_count: jax.Array  # [num_tiles]
+    num_pairs: jax.Array  # []
+    overflow_gaussians: jax.Array  # []
+    overflow_pairs: jax.Array  # []
+
+
+def stage_pairs_sorted(
+    st: StagingStatic, packed, rect_min, rect_max, radii, depths
+) -> SortedPairs:
+    """Inference staging: records in SORTED pair order, NO aligned relayout.
+
+    The forward kernel tolerates unaligned tile starts (it DMAs from the
+    chunk-aligned floor and masks the head lanes), so the [num_aligned] row
+    gather — ~14 ms/frame at flagship scale — disappears entirely.  Forward
+    only (no VJP): the viewer/eval path (render(inference=True)).
+
+    The trailing `chunk` zero columns keep the kernel's last window read in
+    bounds: a tile ending at column max_pairs-1 sweeps at most chunk-1
+    columns past it.
+    """
+    sorted_cols, tile_start, tile_count, e = _sorted_pairs(
+        st, packed, rect_min, rect_max, radii, depths
+    )
+    sorted_table = jnp.stack(
+        [jax.lax.bitcast_convert_type(c, jnp.float32)
+         for c in sorted_cols[2:13]]
+        + [jnp.zeros((st.max_pairs,), jnp.float32)] * (rp.REC_DIM - 11),
+        axis=1,
+    )
+    records_cm = jnp.concatenate(
+        [sorted_table.T, jnp.zeros((rp.REC_DIM, st.chunk), jnp.float32)],
+        axis=1,
+    )
+    return SortedPairs(
+        records_cm=jax.lax.stop_gradient(records_cm),
+        tile_start=tile_start,
+        tile_count=tile_count,
+        num_pairs=e.num_pairs,
+        overflow_gaussians=e.overflow_gaussians,
+        overflow_pairs=e.overflow_pairs,
+    )

@@ -59,6 +59,7 @@ def render(
     pixel_y_offset=None,
     full_image_height: int | None = None,
     active: jax.Array | None = None,
+    inference: bool = False,
 ):
     """Render one view.  All array args may be traced; shapes/ints static.
 
@@ -66,6 +67,12 @@ def render(
     band height, `full_image_height` the camera's full image height, and
     `pixel_y_offset` the band's first row: the camera projection uses the
     full image while binning/rasterization run in band-local coordinates.
+
+    `inference=True` (pallas backend): the viewer/eval fast path — records
+    stay in sorted order and the chunk-aligned relayout gather is skipped
+    entirely (the forward kernel masks unaligned range heads).  Identical
+    pixels, forward-only (no gradients).  Counterpart of the reference's
+    dedicated inference renderer (Metal/MetalGaussianRenderer.swift:262-299).
 
     Returns (RenderOutputs with background applied to color, RenderAux).
     """
@@ -117,9 +124,12 @@ def render(
         means2d, p.conic, p.colors, opacity, p.depths
     )
 
-    if backend in ("pallas", "pallas_interpret") and cfg.staging == "fused":
+    if backend in ("pallas", "pallas_interpret") and (
+        cfg.staging == "fused" or inference
+    ):
         # Fused staging (ops/staging.py): binning + sort + aligned relayout
         # as one wide-payload pipeline with its own gradient reduction.
+        # Inference: sorted-order records, no relayout at all.
         sst = staging_mod.StagingStatic(
             image_width=image_width,
             image_height=image_height,
@@ -131,12 +141,19 @@ def render(
             grad_reduce=cfg.grad_reduce,
             interpret=backend == "pallas_interpret",
         )
-        staged = staging_mod.stage_pairs(
-            sst, packed, rect_min, rect_max, p.radii, p.depths
-        )
+        if inference:
+            staged = staging_mod.stage_pairs_sorted(
+                sst, packed, rect_min, rect_max, p.radii, p.depths
+            )
+            starts = staged.tile_start
+        else:
+            staged = staging_mod.stage_pairs(
+                sst, packed, rect_min, rect_max, p.radii, p.depths
+            )
+            starts = staged.aligned_start
         out = rasterize_pallas.rasterize_staged(
             staged.records_cm,
-            staged.aligned_start,
+            starts,
             staged.tile_count,
             image_width,
             image_height,

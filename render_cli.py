@@ -101,17 +101,25 @@ def main(argv=None):
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    @jax.jit
-    def render_view(view, proj, center, fx, fy, fovx, fovy):
-        out, _ = render(
-            means, shs, opacity, scales, rots,
-            view, proj, center, fovx, fovy, fx, fy,
-            args.width, args.height, sh_degree,
-            raster_cfg=cfg,
-            white_background=args.white_background,
-            backend=args.backend,
-        )
-        return out.color, out.depth
+    def make_render_view(rcfg):
+        @jax.jit
+        def render_view(view, proj, center, fx, fy, fovx, fovy):
+            # inference=True: the viewer fast path — sorted-order staging, no
+            # chunk-aligned relayout (ops/staging.py stage_pairs_sorted).
+            out, aux = render(
+                means, shs, opacity, scales, rots,
+                view, proj, center, fovx, fovy, fx, fy,
+                args.width, args.height, sh_degree,
+                raster_cfg=rcfg,
+                white_background=args.white_background,
+                backend=args.backend,
+                inference=True,
+            )
+            return out.color, out.depth, aux.overflow_pairs
+
+        return render_view
+
+    render_view = make_render_view(cfg)
 
     def cam_tensors(i, n_frames):
         cam = Camera.from_c2w(
@@ -125,9 +133,23 @@ def main(argv=None):
             t["focal_x"], t["focal_y"], t["fov_x"], t["fov_y"],
         )
 
+    def render_checked(*cam):
+        """Render with overflow handling: a clipped pair budget doubles
+        max_pairs (one re-trace) and re-renders — never a truncated frame."""
+        nonlocal cfg, render_view
+        color, depth, ovfl = render_view(*cam)
+        while float(ovfl) > 0 and cfg.max_pairs < cfg.max_pairs_limit:
+            cfg = _dc.replace(cfg, max_pairs=min(cfg.max_pairs * 2,
+                                                 cfg.max_pairs_limit))
+            print(f"pair-budget overflow: growing max_pairs to "
+                  f"{cfg.max_pairs} (recompile)", flush=True)
+            render_view = make_render_view(cfg)
+            color, depth, ovfl = render_view(*cam)
+        return color, depth
+
     frames = []
     for i in range(args.orbit):
-        color, depth = render_view(*cam_tensors(i, args.orbit))
+        color, depth = render_checked(*cam_tensors(i, args.orbit))
         img = np.clip(np.asarray(color) * 255.0, 0, 255).astype(np.uint8)
         frames.append(img)
         Image.fromarray(img).save(out_dir / f"render_{i:03d}.png")
@@ -154,7 +176,7 @@ def main(argv=None):
 
         cams = [cam_tensors(i, args.bench_frames)
                 for i in range(args.bench_frames)]
-        color, _ = render_view(*cams[0])  # warm cache for this shape
+        color, _, _ = render_view(*cams[0])  # warm cache for this shape
         float(color[0, 0, 0])  # fetch = true sync (block_until_ready can lie
         # on tunneled backends — it may return before execution finishes)
         t0 = time.perf_counter()

@@ -211,3 +211,65 @@ def test_fused_render_overflow_budget():
     np.testing.assert_array_equal(
         np.asarray(staged.tile_count), np.asarray(b.tile_count)
     )
+
+
+def test_inference_render_matches_training_forward():
+    """render(inference=True) — sorted-order records, no aligned relayout,
+    unaligned tile starts masked in-kernel — must match the training forward.
+
+    Tolerance: the chunk boundaries fall at different pair offsets, so the
+    per-chunk exp/log prefix-product groupings differ — pure fp regrouping,
+    a few ULPs (measured max 2.4e-7).  The include mask and contributor
+    counts are exact (asserted bitwise)."""
+    params, cam = scene(seed=13)
+    t = cam.tensors()
+    means, shs, opacity, scales, rots = gaussians.activations(params)
+    cfg = RasterizerConfig(
+        tile_h=TILE, tile_w=TILE, max_pairs=MAX_PAIRS, chunk_size=CHUNK,
+    )
+
+    def run(inference):
+        out, aux = render(
+            means, shs, opacity, scales, rots,
+            jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+            jnp.asarray(t["camera_center"]),
+            t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
+            W, H, 0, raster_cfg=cfg, backend="pallas_interpret",
+            inference=inference,
+        )
+        return out, aux
+
+    o1, a1 = run(inference=True)
+    o2, a2 = run(inference=False)
+    assert int(a1.num_pairs) == int(a2.num_pairs) > 0
+    np.testing.assert_allclose(
+        np.asarray(o1.color), np.asarray(o2.color), atol=2e-6, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1.depth), np.asarray(o2.depth), atol=2e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1.alpha), np.asarray(o2.alpha), atol=2e-6, rtol=1e-5
+    )
+    # The include set itself is exact: identical contributor counts.
+    np.testing.assert_array_equal(
+        np.asarray(o1.n_contrib), np.asarray(o2.n_contrib)
+    )
+
+
+def test_inference_unaligned_starts_exercised():
+    """The inference path's tile starts must actually be chunk-UNALIGNED in
+    the parity scene above (otherwise the head-mask logic is untested)."""
+    params, cam = scene(seed=13)
+    p, packed = _geometry(params, cam)
+    st = staging.StagingStatic(
+        image_width=W, image_height=H, tile_w=TILE, tile_h=TILE,
+        max_pairs=MAX_PAIRS, chunk=CHUNK, num_rec=packed.shape[0],
+        grad_reduce="scatter", interpret=True,
+    )
+    sp = staging.stage_pairs_sorted(
+        st, packed, p.rect_min, p.rect_max, p.radii, p.depths
+    )
+    starts = np.asarray(sp.tile_start)
+    counts = np.asarray(sp.tile_count)
+    assert ((starts[counts > 0] % CHUNK) != 0).any()
