@@ -183,15 +183,59 @@ def main():
 
         return jax.value_and_grad(f)(ptuple)
 
+    # --- fused staging stages (ops/staging.py, the default pallas path) -----
+    from gaussiansplattingmlx_tpu.ops import staging as staging_mod
+
+    sst = staging_mod.StagingStatic(
+        image_width=W, image_height=H, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        max_pairs=cfg.max_pairs, chunk=cfg.chunk_size, num_rec=packed.shape[0],
+        grad_reduce="segsum", interpret=False,
+    )
+
+    @jax.jit
+    def stage_fused(packed, p):
+        return staging_mod.stage_pairs(
+            sst, packed, p.rect_min, p.rect_max, p.radii, p.depths
+        )
+
+    @jax.jit
+    def stage_sorted(packed, p):
+        return staging_mod.stage_pairs_sorted(
+            sst, packed, p.rect_min, p.rect_max, p.radii, p.depths
+        )
+
+    @jax.jit
+    def full_fwd_split(means, shs, opacity, scales, rots):
+        import dataclasses as _dc
+
+        out, _ = render(
+            means, shs, opacity, scales, rots, *cam_args, W, H, 3,
+            raster_cfg=_dc.replace(cfg, staging="split"),
+        )
+        loss, _ = losses_mod.total_loss(out.color, target, out.depth, zeros_hw, zeros_hw)
+        return loss
+
+    @jax.jit
+    def full_inference(means, shs, opacity, scales, rots):
+        out, _ = render(
+            means, shs, opacity, scales, rots, *cam_args, W, H, 3,
+            raster_cfg=cfg, inference=True,
+        )
+        return out.color
+
     print(f"workload {W}x{H}, {N} gaussians, tile {args.tile}, chunk {args.chunk}, "
           f"max_pairs {args.max_pairs}, pairs={int(b.num_pairs)}")
     print(f"projection        {timeit(stage_project, means, scales, rots, shs):8.2f} ms", flush=True)
-    print(f"binning           {timeit(stage_bin, p):8.2f} ms", flush=True)
-    print(f"core inputs       {timeit(stage_core_inputs, packed, b):8.2f} ms", flush=True)
+    print(f"binning (split)   {timeit(stage_bin, p):8.2f} ms", flush=True)
+    print(f"core inputs(split){timeit(stage_core_inputs, packed, b):8.2f} ms", flush=True)
+    print(f"staging (fused)   {timeit(stage_fused, packed, p):8.2f} ms", flush=True)
+    print(f"staging (sorted)  {timeit(stage_sorted, packed, p):8.2f} ms", flush=True)
     print(f"core kernel       {timeit(stage_core_jit, records_cm, astart_real, b.tile_count):8.2f} ms", flush=True)
     print(f"raster fwd        {timeit(stage_raster_fwd, packed, b):8.2f} ms", flush=True)
     print(f"raster fwd+bwd    {timeit(stage_raster_both, packed, b):8.2f} ms", flush=True)
-    print(f"full fwd          {timeit(full_fwd, means, shs, opacity, scales, rots):8.2f} ms", flush=True)
+    print(f"full fwd (fused)  {timeit(full_fwd, means, shs, opacity, scales, rots):8.2f} ms", flush=True)
+    print(f"full fwd (split)  {timeit(full_fwd_split, means, shs, opacity, scales, rots):8.2f} ms", flush=True)
+    print(f"full inference    {timeit(full_inference, means, shs, opacity, scales, rots):8.2f} ms", flush=True)
     print(f"full fwd+bwd      {timeit(full_both, params.as_tuple()):8.2f} ms")
 
 

@@ -31,7 +31,7 @@ rect_max = np.minimum(means2d + radii[:,None], np.array([W-1,H-1],np.float32))
 packed = rasterize_ref.pack_gaussians(jnp.asarray(means2d), jnp.asarray(conic),
     jnp.asarray(colors), jnp.asarray(opacity), jnp.asarray(depths))
 b = binning.bin_gaussians(jnp.asarray(rect_min), jnp.asarray(rect_max),
-    jnp.asarray(radii), jnp.asarray(depths), W, H, tw, th, 32, 4096)
+    jnp.asarray(radii), jnp.asarray(depths), W, H, tw, th, 4096)
 
 @jax.jit
 def run_fwd(p):
@@ -71,4 +71,49 @@ gn = float(jnp.linalg.norm(g_o))
 print("grad maxdiff", float(d.max()), "maxrel", float(rel.max()))
 print("grad relnorm", float(jnp.linalg.norm(g - g_o)) / gn, "g_o norm", gn,
       "g_o absmax", float(jnp.abs(g_o).max()))
+
+# ---- fused staging (ops/staging.py): the default training path ------------
+from gaussiansplattingmlx_tpu.ops import staging
+
+sst = staging.StagingStatic(
+    image_width=W, image_height=H, tile_w=tw, tile_h=th,
+    max_pairs=4096, chunk=128, num_rec=n, grad_reduce="segsum",
+    interpret=False,
+)
+rm, rx = jnp.asarray(rect_min), jnp.asarray(rect_max)
+rd, dp = jnp.asarray(radii), jnp.asarray(depths)
+
+@jax.jit
+def run_fused(p):
+    s = staging.stage_pairs(sst, p, rm, rx, rd, dp)
+    return rasterize_pallas.rasterize_staged(
+        s.records_cm, s.aligned_start, s.tile_count, W, H, tw, th,
+        chunk_size=128)
+
+@jax.jit
+def run_fused_grad(p):
+    def loss(p):
+        o = run_fused.__wrapped__(p)
+        return jnp.sum((o.color-target)**2) + 0.3*jnp.sum(o.depth**2) + 0.7*jnp.sum(o.alpha)
+    return jax.grad(loss)(p)
+
+fo = run_fused(packed)
+print("FUSED color maxdiff", float(jnp.abs(fo.color - want.color).max()))
+print("FUSED ncon mismatch frac",
+      float(jnp.mean((fo.n_contrib != want.n_contrib).astype(jnp.float32))))
+gf = run_fused_grad(packed)
+print("FUSED grad relnorm", float(jnp.linalg.norm(gf - g_o)) / gn)
+
+# ---- inference path: sorted-order records, unaligned starts ----------------
+@jax.jit
+def run_inference(p):
+    s = staging.stage_pairs_sorted(sst, p, rm, rx, rd, dp)
+    return rasterize_pallas.rasterize_staged(
+        s.records_cm, s.tile_start, s.tile_count, W, H, tw, th,
+        chunk_size=128)
+
+io_ = run_inference(packed)
+print("INFER color maxdiff", float(jnp.abs(io_.color - want.color).max()))
+print("INFER ncon mismatch frac",
+      float(jnp.mean((io_.n_contrib != want.n_contrib).astype(jnp.float32))))
 print("OK")
