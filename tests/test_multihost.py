@@ -166,3 +166,35 @@ def test_multihost_trainer_checkpoint_resume(tmp_path):
                              extra=("--resume", str(ck)))
     for k in a.files:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_trainer_batched_views_single_process(scene):  # noqa: F811
+    """Trainer batched-views mode on the virtual mesh (single process):
+    host-local store, per-shard sampling, densify + replication all wired."""
+    from gaussiansplattingmlx_tpu.config import (
+        DensifyConfig, ModelConfig, TrainConfig,
+    )
+    from gaussiansplattingmlx_tpu.train.trainer import Trainer
+    from gaussiansplattingmlx_tpu.utils.point_cloud import PointCloud
+    from test_train_smoke import RASTER
+
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    pc = PointCloud(coords=pts, colors=cols * 255.0)
+    cfg = TrainConfig(
+        iterations=6, init_points=len(pts), log_interval=3,
+        snapshot_interval=10**9, checkpoint_interval=0, output_dir="",
+        model=ModelConfig(sh_degree=0, initial_capacity=128),
+        raster=RASTER,
+        densify=DensifyConfig(interval=3, from_iter=3, until_iter=1000,
+                              grad_threshold=1e-9, max_scale=1e9),
+    )
+    mesh = sharding.make_mesh(2, 1, devices=jax.devices()[:2])
+    trainer = Trainer(cfg, data, pc, backend="reference", mesh=mesh,
+                      batched_views=True)
+    assert trainer.batched_views
+    n0 = int(trainer.state.num_active)
+    log = []
+    trainer.run(on_metrics=log.append)
+    assert np.isfinite(log[-1]["loss"])
+    assert int(trainer.state.num_active) > n0  # densify ran under the mesh
