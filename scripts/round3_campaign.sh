@@ -1,0 +1,66 @@
+#!/bin/bash
+# Round-3 TPU campaign chain — run when the chip is reachable.
+# Order: cheap proofs first (parity, bench, profile, inference fps), then the
+# long campaigns (independent-imagery flagship, SH4 resume) under the
+# failure-detecting supervisor.
+set -u
+cd /root/repo
+mkdir -p outputs/round3
+LOG=outputs/round3
+
+echo "=== round3 campaign chain start: $(date -u +%FT%TZ) ===" | tee -a $LOG/chain.log
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "--- $name: $* ($(date -u +%T)Z)" | tee -a $LOG/chain.log
+  timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "--- $name done rc=$rc" | tee -a $LOG/chain.log
+  tail -5 "$LOG/$name.log" | tee -a $LOG/chain.log
+  return $rc
+}
+
+# 1. compiled-kernel parity incl. fused staging + inference paths
+run tpu_check 1200 python scripts/tpu_check.py
+
+# 2. authoritative headline bench (fail-fast; free chip)
+run bench 1500 python bench.py
+cp $LOG/bench.log outputs/round3/bench_first.json 2>/dev/null
+
+# 3. stage breakdown: split vs fused staging, inference render
+run profile 2400 python scripts/profile_breakdown.py --size 800 \
+    --gaussians 100000 --max-pairs 1572864
+
+# 4. inference fps on the round-2 flagship model (25k gaussians)
+if [ -f outputs/flagship/iteration_30000.ply ]; then
+  run renderfps 2400 python render_cli.py \
+      --ply outputs/flagship/iteration_30000.ply --orbit 4 \
+      --out outputs/round3/renders --max-pairs 2097152 \
+      --bench-frames 64 --white-background
+fi
+
+# 5. flagship campaign on INDEPENDENT imagery (ray-traced 800x800 x 36 views,
+#    4 held out) — the round's top deliverable. Supervisor restarts on RPC
+#    wedges; checkpoints are bit-exact.
+if [ ! -f outputs/flagship_vendor/summary.json ]; then
+  python scripts/supervise_train.py --stall-timeout 600 --max-restarts 12 \
+      --out outputs/flagship_vendor -- \
+      python scripts/train_flagship_tpu.py \
+        --dataset-root outputs/vendor_scene_800 --holdout 4 \
+        --iters 30000 --sh-degree 3 --densify-until 15000 \
+        --checkpoint-interval 2000 --out outputs/flagship_vendor \
+        2>&1 | tee -a $LOG/flagship_vendor.log
+fi
+
+# 6. finish the SH4 scale campaign (resumes from round-2 checkpoints)
+python scripts/supervise_train.py --stall-timeout 900 --max-restarts 12 \
+    --out outputs/flagship_sh4 -- \
+    python scripts/train_flagship_tpu.py --iters 30000 --sh-degree 4 \
+      --grad-threshold 5e-5 --densify-until 5000 \
+      --checkpoint-interval 1500 --out outputs/flagship_sh4 \
+      2>&1 | tee -a $LOG/flagship_sh4.log
+
+# 7. re-bench at end (warm caches, post-campaign chip state)
+run bench_final 1500 python bench.py
+
+echo "=== chain complete: $(date -u +%FT%TZ) ===" | tee -a $LOG/chain.log
