@@ -314,13 +314,59 @@ def _bwd_kernel(
     cot_t_fin = -cot_alpha  # alpha = 1 - T_final; background applied outside
     tfin_term = cot_t_fin * t_final  # (TT, 1), constant over the march
 
-    @pl.when(nchunks > 0)
+    # Early-exit replay at CHUNK granularity: the forward's include set is a
+    # per-pixel PREFIX of the tile's list (transmittance is non-increasing),
+    # so every pair at position >= max(ncon) has zero gradient for every
+    # pixel and identity state updates.  Only the first `live` chunks need
+    # the reverse march; the dead tail is zero-FILLED (its grad slots must
+    # still be written — the reduction reads the whole aligned buffer).
+    max_ncon = jnp.max(ncon).astype(jnp.int32)
+    live = jnp.minimum(nchunks, pl.cdiv(max_ncon, C))
+    n_dead = nchunks - live
+
+    @pl.when(n_dead > 0)
     def _():
-        _rec_copy(rec_hbm, rec_vmem, sem, start, nchunks - 1, 0, C).start()
+        zero = jnp.zeros((REC_DIM, C), jnp.float32)
+        grad_vmem[0] = zero
+        grad_vmem[1] = zero
+
+        def zbody(j, _):
+            zslot = jax.lax.rem(j, 2)
+
+            @pl.when(j >= 2)
+            def _():
+                _grad_copy(
+                    grad_ref, grad_vmem, gsem, start, live + j - 2, zslot, C
+                ).wait()
+
+            _grad_copy(
+                grad_ref, grad_vmem, gsem, start, live + j, zslot, C
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_dead, zbody, 0)
+
+        @pl.when(n_dead >= 1)
+        def _():
+            _grad_copy(
+                grad_ref, grad_vmem, gsem, start, nchunks - 1,
+                jax.lax.rem(n_dead - 1, 2), C
+            ).wait()
+
+        @pl.when(n_dead >= 2)
+        def _():
+            _grad_copy(
+                grad_ref, grad_vmem, gsem, start, nchunks - 2,
+                jax.lax.rem(n_dead - 2, 2), C
+            ).wait()
+
+    @pl.when(live > 0)
+    def _():
+        _rec_copy(rec_hbm, rec_vmem, sem, start, live - 1, 0, C).start()
 
     def body(k, carry):
         t_end, acc = carry
-        ci = nchunks - 1 - k
+        ci = live - 1 - k
         slot = jax.lax.rem(k, 2)
         _rec_copy(rec_hbm, rec_vmem, sem, start, ci, slot, C).wait()
 
@@ -393,22 +439,22 @@ def _bwd_kernel(
 
     jax.lax.fori_loop(
         0,
-        nchunks,
+        live,
         body,
         (t_final, jnp.zeros((tt, 1), jnp.float32)),
     )
 
     # Drain the last (up to) two in-flight gradient writes.
-    @pl.when(nchunks >= 1)
+    @pl.when(live >= 1)
     def _():
         _grad_copy(
-            grad_ref, grad_vmem, gsem, start, 0, jax.lax.rem(nchunks - 1, 2), C
+            grad_ref, grad_vmem, gsem, start, 0, jax.lax.rem(live - 1, 2), C
         ).wait()
 
-    @pl.when(nchunks >= 2)
+    @pl.when(live >= 2)
     def _():
         _grad_copy(
-            grad_ref, grad_vmem, gsem, start, 1, jax.lax.rem(nchunks - 2, 2), C
+            grad_ref, grad_vmem, gsem, start, 1, jax.lax.rem(live - 2, 2), C
         ).wait()
 
 

@@ -166,6 +166,21 @@ def rot_to_quat(R):
     return w, x, y, z
 
 
+def sky_points(rng, n, radius=15.0):
+    """Far-dome init points colored like the sky gradient.
+
+    The ray-traced images have an opaque sky; real SfM yields no sky points,
+    so 3DGS practice seeds unbounded regions with random far points (the
+    INRIA trainer's random-background init).  A dome at ~6x the camera orbit
+    radius gives the densifier something to grow sky coverage from."""
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    v[:, 1] = np.abs(v[:, 1])  # upper hemisphere + horizon
+    pts = v * radius
+    col = np.array([0.62, 0.74, 0.92]) + v[:, 1:2] * 0.25
+    return pts, np.clip(col * 255.0, 0, 255)
+
+
 def surface_points(rng, n=4000):
     """SfM-like sparse cloud: noisy samples of the true surfaces w/ colors."""
     pts, cols = [], []
@@ -235,6 +250,9 @@ def main():
                     help="add extra primitives (flagship campaigns: detail "
                          "the densifier must resolve); the default fixture "
                          "stays byte-identical without it")
+    ap.add_argument("--sky-points", type=int, default=0,
+                    help="add this many far sky-dome init points (the scene "
+                         "has an opaque sky; unbounded-region seeding)")
     args = ap.parse_args()
     from PIL import Image
 
@@ -262,6 +280,10 @@ def main():
         print(f"rendered frame_{i:03d}.png", flush=True)
 
     pts, cols = surface_points(rng, n=args.points)
+    if args.sky_points:
+        sp, sc = sky_points(rng, args.sky_points)
+        pts = np.concatenate([pts, sp])
+        cols = np.concatenate([cols, sc])
     write_colmap(dest, c2ws, pts, cols)
     print(f"wrote {dest} ({N_VIEWS} views {W}x{H}, {len(pts)} points)")
 

@@ -52,6 +52,18 @@ if [ ! -f outputs/flagship_vendor/summary.json ]; then
         2>&1 | tee -a $LOG/flagship_vendor.log
 fi
 
+# 5b. independent eval.py pass on the trained model: held-out views
+PLY=$(ls -t outputs/flagship_vendor/iteration_*.ply 2>/dev/null | head -1)
+if [ -n "$PLY" ]; then
+  run eval_holdout 2400 python eval.py --dataset colmap \
+      --root outputs/vendor_scene_800 --resize-factor 1.0 \
+      --ply "$PLY" --views 0,9,18,27 --max-pairs 4194304 \
+      --save-renders outputs/round3/eval_holdout
+  run eval_all 3600 python eval.py --dataset colmap \
+      --root outputs/vendor_scene_800 --resize-factor 1.0 \
+      --ply "$PLY" --max-pairs 4194304
+fi
+
 # 6. finish the SH4 scale campaign (resumes from round-2 checkpoints)
 python scripts/supervise_train.py --stall-timeout 900 --max-restarts 12 \
     --out outputs/flagship_sh4 -- \

@@ -117,3 +117,18 @@ def test_train_resume(trained, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "resumed from" in r.stdout
+
+
+def test_render_cli_overflow_autogrow(trained, tmp_path):
+    """A render budget that clips grows (recompile) instead of producing a
+    truncated frame."""
+    scene, out, _ = trained
+    ply = sorted(out.glob("iteration_*.ply"))[-1]
+    r = run_cli(
+        "render_cli.py", "--ply", str(ply), "--out", str(tmp_path),
+        "--width", "32", "--height", "32", "--orbit", "1",
+        "--backend", "reference", "--max-pairs", "16",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "growing max_pairs" in r.stdout
+    assert (tmp_path / "render_000.png").exists()

@@ -292,3 +292,31 @@ def test_data_x_tile_mesh(scene):
         np.asarray(s_a.grad_accum), np.asarray(s_b.grad_accum),
         rtol=1e-4, atol=1e-9,
     )
+
+
+def test_dp_step_fused_staging_interpret(scene):
+    """Fused staging + interpret-mode Pallas kernels UNDER shard_map (the
+    combination mesh-mode TPU training runs): one DP step on a (2, 1) mesh
+    matches the reference-backend step's loss and gradients."""
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    views = stack_views(data)
+    mesh = sharding.make_mesh(2, 1, devices=jax.devices()[:2])
+
+    def run(backend, raster):
+        cfg = make_cfg(raster)
+        step = sharding.make_dp_train_step(
+            cfg, W, H, 0, cfg.iterations, mesh, backend=backend
+        )
+        s = sharding.replicate_state(build_state(pts, cols), mesh)
+        out, m, _ = step(
+            s, sharding.replicate_views(views, mesh),
+            sharding.shard_view_idx(np.array([1, 4]), mesh),
+        )
+        return float(m["loss"]), np.asarray(out.params.xyz)
+
+    l_pal, x_pal = run("pallas_interpret",
+                       dataclasses.replace(RASTER, staging="fused"))
+    l_ref, x_ref = run("reference", RASTER)
+    np.testing.assert_allclose(l_pal, l_ref, rtol=1e-5)
+    np.testing.assert_allclose(x_pal, x_ref, rtol=1e-4, atol=1e-7)

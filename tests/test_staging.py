@@ -273,3 +273,64 @@ def test_inference_unaligned_starts_exercised():
     starts = np.asarray(sp.tile_start)
     counts = np.asarray(sp.tile_count)
     assert ((starts[counts > 0] % CHUNK) != 0).any()
+
+
+def test_bwd_dead_chunk_skip_heavy_occlusion():
+    """Early-exit replay at chunk granularity: with near-opaque stacked
+    gaussians the forward terminates after a few contributors, so most
+    backward chunks are DEAD (zero gradient) — they must be zero-filled and
+    skipped without corrupting the gradients of the live prefix."""
+    n = 96  # 3 chunks of 32 in one tile; only the first few contribute
+    rng = np.random.default_rng(17)
+    means2d = np.full((n, 2), 8.0, np.float32)
+    conic = np.zeros((n, 4), np.float32)
+    conic[:, 0] = conic[:, 3] = 0.01  # wide AND strong over the whole tile
+    colors = rng.uniform(0.1, 0.9, size=(n, 3)).astype(np.float32)
+    opacity = np.full((n, 1), 0.98, np.float32)
+    depths = np.arange(1, n + 1, dtype=np.float32)
+    radii = np.full((n,), 8.0, np.float32)
+    rect_min = np.zeros((n, 2), np.float32)
+    rect_max = np.full((n, 2), 15.0, np.float32)
+
+    packed = rasterize_ref.pack_gaussians(
+        jnp.asarray(means2d), jnp.asarray(conic), jnp.asarray(colors),
+        jnp.asarray(opacity), jnp.asarray(depths),
+    )
+    b = binning.bin_gaussians(
+        jnp.asarray(rect_min), jnp.asarray(rect_max), jnp.asarray(radii),
+        jnp.asarray(depths), 16, 16, 16, 16, 128,
+    )
+    assert int(b.num_pairs) == n
+    target = jnp.asarray(rng.uniform(size=(16, 16, 3)).astype(np.float32))
+
+    def loss_pallas(p):
+        out = rp.rasterize_pallas(
+            p, b.sorted_gauss_idx, b.pair_valid, b.tile_start, b.tile_count,
+            16, 16, 16, 16, chunk_size=32, interpret=True,
+            grad_reduce="scatter",
+        )
+        return jnp.sum((out.color - target) ** 2) + jnp.sum(out.alpha)
+
+    def loss_ref(p):
+        out = rasterize_ref.rasterize_reference(
+            p, b.sorted_gauss_idx, b.sorted_tile_id, 16, 16, 16, 16
+        )
+        return jnp.sum((out.color - target) ** 2) + jnp.sum(out.alpha)
+
+    out = rp.rasterize_pallas(
+        packed, b.sorted_gauss_idx, b.pair_valid, b.tile_start, b.tile_count,
+        16, 16, 16, 16, chunk_size=32, interpret=True,
+    )
+    ncon_max = int(np.asarray(out.n_contrib).max())
+    assert ncon_max < 32, f"early exit did not bite (ncon {ncon_max})"
+
+    g = jax.grad(loss_pallas)(packed)
+    g_ref = jax.grad(loss_ref)(packed)
+    # Near-saturated compositing conditions the VJP; kernel-vs-oracle fp
+    # noise here is ~5e-5 relative (different but equivalent formulations).
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-4
+    )
+    # The dead gaussians (never contributing to any pixel) get EXACT zeros.
+    dead = np.asarray(g)[ncon_max + 8:]
+    np.testing.assert_array_equal(dead, 0.0)
