@@ -9,6 +9,7 @@ rasterizer jitted without gradients IS the viewer backend).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -124,8 +125,13 @@ def render(
         means2d, p.conic, p.colors, opacity, p.depths
     )
 
+    # GSPLAT_STAGING=split is the operational kill-switch: forces the split
+    # pipeline (and the training-style viewer path) if the fused kernels
+    # misbehave on a given backend — used by scripts/round3_campaign.sh when
+    # the parity check fails.
+    staging_mode = os.environ.get("GSPLAT_STAGING") or cfg.staging
     if backend in ("pallas", "pallas_interpret") and (
-        cfg.staging == "fused" or inference
+        staging_mode == "fused" or (inference and staging_mode != "split")
     ):
         # Fused staging (ops/staging.py): binning + sort + aligned relayout
         # as one wide-payload pipeline with its own gradient reduction.

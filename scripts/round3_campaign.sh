@@ -20,8 +20,14 @@ run() {  # run <name> <timeout_s> <cmd...>
   return $rc
 }
 
-# 1. compiled-kernel parity incl. fused staging + inference paths
-run tpu_check 1200 python scripts/tpu_check.py
+# 1. compiled-kernel parity incl. fused staging + inference paths.
+#    If the NEW fused/inference kernels fail to compile or mis-compare on the
+#    real chip, fall back to the round-2 split pipeline for the campaigns.
+if ! run tpu_check 1200 python scripts/tpu_check.py; then
+  echo "!!! tpu_check failed — forcing GSPLAT_STAGING=split for the rest" \
+      | tee -a $LOG/chain.log
+  export GSPLAT_STAGING=split
+fi
 
 # 2. authoritative headline bench (fail-fast; free chip)
 run bench 1500 python bench.py
