@@ -198,3 +198,32 @@ def test_trainer_batched_views_single_process(scene):  # noqa: F811
     trainer.run(on_metrics=log.append)
     assert np.isfinite(log[-1]["loss"])
     assert int(trainer.state.num_active) > n0  # densify ran under the mesh
+
+
+def test_trainer_batched_views_with_tile_axis(scene):  # noqa: F811
+    """Batched-views Trainer on a (data=2, tile=2) mesh: host-local store +
+    band-sharded rendering compose (the full multi-host pod shape)."""
+    from gaussiansplattingmlx_tpu.config import (
+        DensifyConfig, ModelConfig, TrainConfig,
+    )
+    from gaussiansplattingmlx_tpu.train.trainer import Trainer
+    from gaussiansplattingmlx_tpu.utils.point_cloud import PointCloud
+    from test_sharding import RASTER8
+
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    pc = PointCloud(coords=pts, colors=cols * 255.0)
+    cfg = TrainConfig(
+        iterations=4, init_points=len(pts), log_interval=2,
+        snapshot_interval=10**9, checkpoint_interval=0, output_dir="",
+        model=ModelConfig(sh_degree=0, initial_capacity=64),
+        raster=RASTER8,
+        densify=DensifyConfig(from_iter=10**9),
+    )
+    mesh = sharding.make_mesh(2, 2, devices=jax.devices()[:4])
+    trainer = Trainer(cfg, data, pc, backend="reference", mesh=mesh,
+                      batched_views=True)
+    log = []
+    trainer.run(on_metrics=log.append)
+    assert np.isfinite(log[-1]["loss"])
+    assert log[-1]["psnr"] > 5.0
