@@ -221,7 +221,10 @@ def _fwd_kernel(start_ref, count_ref, rec_hbm, out_ref, rec_vmem, sem, *, st: Ra
     lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
     lt_excl = jnp.where(li < lj, 1.0, 0.0)
     eps = st.transmittance_eps
-    nchunks = pl.cdiv(count_w, C)
+    # Empty tiles sweep nothing even when `start` is unaligned (shift > 0
+    # with count == 0 would otherwise DMA+evaluate one fully-masked chunk —
+    # up to a whole grid of wasted work in sparse scenes).
+    nchunks = jnp.where(count > 0, pl.cdiv(count_w, C), 0)
 
     @pl.when(nchunks > 0)
     def _():
@@ -460,6 +463,51 @@ def _bwd_kernel(
 
 def _zero_cot(x):
     return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def aligned_relayout(tile_start, tile_count, num_tiles: int, C: int,
+                     num_aligned: int):
+    """Chunk-aligned relayout index math, shared by the split pipeline below
+    and the fused staging (ops/staging.py) so the two can never diverge.
+
+    Every C-slot chunk has exactly one owning tile, so the owner table is
+    computed per CHUNK (num_aligned/C entries) and broadcast — per-SLOT
+    searchsorted/gathers over the [num_aligned] axis lower to while-loops
+    that cost ~100x more than all the real work (measured).
+
+    Returns (aligned_start [num_tiles], src [num_aligned], within
+    [num_aligned]): tile t's pairs live at aligned columns
+    [aligned_start[t], aligned_start[t] + tile_count[t]), sourced from
+    sorted-pair positions `src` where `within` is True."""
+    nchunks_per_tile = -(-tile_count // C)  # ceil
+    aligned_sizes = nchunks_per_tile * C
+    aligned_start = (jnp.cumsum(aligned_sizes) - aligned_sizes).astype(jnp.int32)
+    nchunks_total = num_aligned // C
+    chunk_first_slot = jnp.arange(nchunks_total, dtype=jnp.int32) * C
+    # Owning tile: last tile whose aligned range starts at or before the
+    # chunk (empty tiles share the next tile's start and own no chunks).
+    owner_c = jnp.clip(
+        jnp.searchsorted(aligned_start, chunk_first_slot, side="right").astype(
+            jnp.int32
+        )
+        - 1,
+        0,
+        num_tiles - 1,
+    )  # [nchunks_total]
+    slot = jnp.arange(num_aligned, dtype=jnp.int32).reshape(nchunks_total, C)
+    rank = slot - aligned_start[owner_c][:, None]
+    within = (rank < tile_count[owner_c][:, None]).reshape(-1)
+    src = jnp.where(
+        within, (tile_start[owner_c][:, None] + rank).reshape(-1), 0
+    )
+    return aligned_start, src, within
+
+
+def pick_seg_chunk(num_aligned: int, C: int) -> int:
+    """DMA chunk width for the segment-sum reduction: 512-wide amortizes copy
+    latency best (scripts/bwd_reduce_tune.py); falls back to any divisor of
+    the aligned width, or 0 if none (caller uses the scatter path)."""
+    return next((c for c in (512, 256, 128, C) if num_aligned % c == 0), 0)
 
 
 # --- per-Gaussian gradient reduction (sort + MXU segment sum) ---------------
@@ -759,33 +807,9 @@ def rasterize_pallas(
     )
 
     # --- chunk-aligned pair layout (gather-only: TPU scatters serialize) ----
-    # Every C-slot chunk has exactly one owning tile, so the owner table is
-    # computed per CHUNK (num_aligned/C entries) and broadcast — per-SLOT
-    # searchsorted/gathers over the [num_aligned] axis lower to while-loops
-    # that cost ~100x more than all the real work (measured).
-    nchunks_per_tile = -(-tile_count // C)  # ceil
-    aligned_sizes = nchunks_per_tile * C
-    aligned_start = (jnp.cumsum(aligned_sizes) - aligned_sizes).astype(jnp.int32)
-    nchunks_total = num_aligned // C
-    chunk_first_slot = jnp.arange(nchunks_total, dtype=jnp.int32) * C
-    # Owning tile: last tile whose aligned range starts at or before the
-    # chunk (empty tiles share the next tile's start and own no chunks).
-    owner_c = jnp.clip(
-        jnp.searchsorted(aligned_start, chunk_first_slot, side="right").astype(
-            jnp.int32
-        )
-        - 1,
-        0,
-        num_tiles - 1,
-    )  # [nchunks_total]
-    astart_c = aligned_start[owner_c]
-    count_c = tile_count[owner_c]
-    tstart_c = tile_start[owner_c]
-    slot = jnp.arange(num_aligned, dtype=jnp.int32).reshape(nchunks_total, C)
-    rank = slot - astart_c[:, None]
-    within = rank < count_c[:, None]
-    src = jnp.where(within, tstart_c[:, None] + rank, 0).reshape(-1)
-    within = within.reshape(-1)
+    aligned_start, src, within = aligned_relayout(
+        tile_start, tile_count, num_tiles, C, num_aligned
+    )
     aligned_idx = jnp.where(within, sorted_gauss_idx[src], 0)
     aligned_valid = within
 
@@ -808,9 +832,7 @@ def rasterize_pallas(
     # (scripts/bwd_reduce_tune.py): total matmul work is
     # 2*16*(P*block_b + N*chunk), so a SMALL Gaussian block wins; 512-wide
     # DMA chunks amortize copy latency.
-    seg_chunk = next(
-        (c for c in (512, 256, 128, C) if num_aligned % c == 0), 0
-    )
+    seg_chunk = pick_seg_chunk(num_aligned, C)
     if seg_chunk == 0:
         grad_reduce = "scatter"
         seg_chunk = C

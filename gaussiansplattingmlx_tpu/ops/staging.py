@@ -166,28 +166,12 @@ def _stage_impl(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
     )
 
     # --- 3. chunk-aligned relayout, ONE [num_aligned] row gather -------------
-    # Every C-slot chunk has exactly one owning tile, so owner math runs per
-    # CHUNK and broadcasts (per-slot searchsorted lowers to serial loops).
+    # Index math shared with the split pipeline (rasterize_pallas.
+    # aligned_relayout) so the two paths cannot diverge.
     num_aligned = _num_aligned(st)
-    nchunks_per_tile = -(-tile_count // C)
-    aligned_sizes = nchunks_per_tile * C
-    aligned_start = (jnp.cumsum(aligned_sizes) - aligned_sizes).astype(jnp.int32)
-    nchunks_total = num_aligned // C
-    chunk_first_slot = jnp.arange(nchunks_total, dtype=jnp.int32) * C
-    owner_c = jnp.clip(
-        jnp.searchsorted(
-            aligned_start, chunk_first_slot, side="right"
-        ).astype(jnp.int32) - 1,
-        0,
-        num_tiles - 1,
+    aligned_start, src, within = rp.aligned_relayout(
+        tile_start, tile_count, num_tiles, C, num_aligned
     )
-    astart_c = aligned_start[owner_c]
-    count_c = tile_count[owner_c]
-    tstart_c = tile_start[owner_c]
-    slot = jnp.arange(num_aligned, dtype=jnp.int32).reshape(nchunks_total, C)
-    rank = slot - astart_c[:, None]
-    within = (rank < count_c[:, None]).reshape(-1)
-    src = jnp.where(within, (tstart_c[:, None] + rank).reshape(-1), 0)
 
     aligned = sorted_table[src]  # [num_aligned, 16] row gather
     # Select-form masking: garbage in never-written tails cannot reach the
@@ -232,12 +216,10 @@ def _stage_bwd(st, gid_aligned, cot: StagedPairs):
     performs (sort + MXU segment sum, or the XLA scatter-add fallback)."""
     g_cm = cot.records_cm
     num_aligned = g_cm.shape[1]
-    if st.grad_reduce == "segsum":
-        seg_chunk = next(
-            (c for c in (512, 256, 128, st.chunk) if num_aligned % c == 0), 0
-        )
-    else:
-        seg_chunk = 0
+    seg_chunk = (
+        rp.pick_seg_chunk(num_aligned, st.chunk)
+        if st.grad_reduce == "segsum" else 0
+    )
     if seg_chunk:
         sst = rp.SegsumStatic(
             num_rec=st.num_rec, num_aligned=num_aligned,
@@ -250,7 +232,7 @@ def _stage_bwd(st, gid_aligned, cot: StagedPairs):
         idx = jnp.where(valid, gid_aligned, 0)
         grad_rec = jnp.zeros((st.num_rec, rp.REC_DIM), jnp.float32).at[
             idx
-        ].add(jnp.where(valid[:, None], rows, 0.0))
+        ].add(rows)
     # Kernel layout -> packed layout (the perm is an involution).
     d_packed = grad_rec[:, list(_PERM)]
     # Geometry inputs are stop-gradient staging machinery (the split pipeline

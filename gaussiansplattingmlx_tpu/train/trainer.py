@@ -276,16 +276,17 @@ class Trainer:
         self.backend = backend
         if mesh is None:
             par = config.parallel
-            if (
-                par.data_parallel != 1
-                or par.tile_parallel != 1
-                or jax.process_count() > 1
-            ):
+            multiproc = jax.process_count() > 1
+            if par.data_parallel != 1 or par.tile_parallel != 1 or multiproc:
                 from ..parallel import sharding as _sharding
 
-                mesh = _sharding.make_mesh(
-                    par.data_parallel, par.tile_parallel
-                )
+                dp = par.data_parallel
+                if multiproc and dp == 1 and par.tile_parallel == 1:
+                    # Multi-process with the default (single-device) config:
+                    # span ALL devices — a 1-device mesh would leave every
+                    # other process without addressable shards.
+                    dp = 0
+                mesh = _sharding.make_mesh(dp, par.tile_parallel)
         self.mesh = mesh
         self.rng = np.random.default_rng(config.seed)
         self.key = jax.random.PRNGKey(config.seed)
@@ -367,6 +368,14 @@ class Trainer:
             for s in range(ndata)
         ]
         self.local_shards, _ = self._multihost.local_data_shards(self.mesh)
+        if len(self.local_shards) == 0:
+            raise ValueError(
+                f"process {jax.process_index()} owns no mesh devices "
+                f"(mesh={dict(self.mesh.shape)}, "
+                f"{jax.process_count()} processes) — size the mesh so every "
+                "process holds at least one 'data' shard (data_parallel=0 "
+                "spans all devices)"
+            )
         local_ids = np.unique(
             np.concatenate([self.shard_views[s] for s in self.local_shards])
         )

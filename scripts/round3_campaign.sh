@@ -48,7 +48,17 @@ fi
 # 5. flagship campaign on INDEPENDENT imagery (ray-traced 800x800 x 36 views,
 #    4 held out) — the round's top deliverable. Supervisor restarts on RPC
 #    wedges; checkpoints are bit-exact.
-if [ ! -f outputs/flagship_vendor/summary.json ]; then
+if [ ! -f outputs/vendor_scene_800/sparse/0/points3D.bin ]; then
+  echo "--- generating outputs/vendor_scene_800 (ray tracer, CPU)" \
+      | tee -a $LOG/chain.log
+  run make_scene 1800 python scripts/make_vendor_scene.py \
+      --out outputs/vendor_scene_800 --width 800 --height 800 --views 36 \
+      --points 30000 --sky-points 4000 --rich \
+      || { echo "scene generation FAILED — skipping flagship_vendor" \
+           | tee -a $LOG/chain.log; }
+fi
+if [ -f outputs/vendor_scene_800/sparse/0/points3D.bin ] && \
+   [ ! -f outputs/flagship_vendor/summary.json ]; then
   python scripts/supervise_train.py --stall-timeout 600 --max-restarts 12 \
       --out outputs/flagship_vendor -- \
       python scripts/train_flagship_tpu.py \
