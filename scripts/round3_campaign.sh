@@ -80,15 +80,20 @@ if [ -n "$PLY" ]; then
       --ply "$PLY" --max-pairs 4194304
 fi
 
-# 6. finish the SH4 scale campaign (resumes from round-2 checkpoints)
+# 6. continue the SH4 scale campaign (resumes from the round-2 checkpoint;
+#    flags MATCH the checkpoint's recorded config — iters feeds the LR
+#    schedule, densify-until 20000 / ckpt 2500 are what the run used)
 python scripts/supervise_train.py --stall-timeout 900 --max-restarts 12 \
     --out outputs/flagship_sh4 -- \
     python scripts/train_flagship_tpu.py --iters 30000 --sh-degree 4 \
-      --grad-threshold 5e-5 --densify-until 5000 \
-      --checkpoint-interval 1500 --out outputs/flagship_sh4 \
+      --grad-threshold 5e-5 --densify-until 20000 \
+      --checkpoint-interval 2500 --out outputs/flagship_sh4 \
       2>&1 | tee -a $LOG/flagship_sh4.log
 
 # 7. re-bench at end (warm caches, post-campaign chip state)
 run bench_final 1500 python bench.py
+
+# 8. record whatever was measured into BASELINE.md (+ commit)
+run report 600 python scripts/report_round3.py
 
 echo "=== chain complete: $(date -u +%FT%TZ) ===" | tee -a $LOG/chain.log
