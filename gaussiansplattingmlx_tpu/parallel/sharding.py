@@ -97,14 +97,17 @@ def make_dp_train_step(
     """
 
     tile_devices = mesh.shape["tile"]
-    assert image_height % tile_devices == 0, (
-        "tile-parallel requires image_height divisible by the tile axis"
-    )
     band_h = image_height // tile_devices
-    assert band_h % cfg.raster.tile_h == 0, (
-        "tile-parallel requires the band height to be a multiple of tile_h so "
-        "the band tiling coincides with the full-image tiling (exactness)"
-    )
+    if tile_devices > 1:
+        # (A single full-height "band" has no seam; any image height works.)
+        assert image_height % tile_devices == 0, (
+            "tile-parallel requires image_height divisible by the tile axis"
+        )
+        assert band_h % cfg.raster.tile_h == 0, (
+            "tile-parallel requires the band height to be a multiple of "
+            "tile_h so the band tiling coincides with the full-image tiling "
+            "(exactness)"
+        )
 
     def per_device(state: TrainState, views: Dict, view_idx):
         if batched_views:

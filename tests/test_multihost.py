@@ -227,3 +227,51 @@ def test_trainer_batched_views_with_tile_axis(scene):  # noqa: F811
     trainer.run(on_metrics=log.append)
     assert np.isfinite(log[-1]["loss"])
     assert log[-1]["psnr"] > 5.0
+
+
+@pytest.mark.slow
+def test_train_cli_multihost_two_processes(tmp_path):
+    """The real train.py CLI under a 2-process loopback cluster: --multihost
+    --data-parallel 0 trains, only process 0 writes outputs."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tests"))
+    from test_data_loaders import write_blender_fixture
+
+    scene_dir = tmp_path / "scene"
+    write_blender_fixture(scene_dir, np.random.default_rng(0),
+                          n_images=4, w=32, h=24)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "raster": {"backend": "reference", "max_pairs": 4096,
+                   "chunk_size": 32},
+        "log_interval": 2, "snapshot_interval": 4, "checkpoint_interval": 4,
+        "preview_interval": 100,
+        "model": {"initial_capacity": 512},
+        "densify": {"from_iter": 10**9},
+    }))
+    out = tmp_path / "out"
+    procs = []
+    for pid in range(2):
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env.update(
+            JAX_COORDINATOR_ADDRESS="localhost:29961",
+            JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid),
+            JAX_PLATFORMS="cpu", GSPLAT_PLATFORM="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "train.py", "--dataset", "blender",
+             "--root", str(scene_dir), "--output", str(out),
+             "--config", str(cfg_path), "--iterations", "4",
+             "--sh-degree", "0", "--resize-factor", "1.0",
+             "--init-points", "400", "--multihost", "--data-parallel", "0"],
+            cwd=str(REPO), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs[0][-2000:] + outs[1][-2000:]
+    assert (out / "metrics.csv").exists()
+    assert (out / "ckpt_4.npz").exists()
+    assert list(out.glob("iteration_*.ply"))
