@@ -1,8 +1,11 @@
-"""Collect round-3 TPU campaign results into BASELINE.md (chain final step).
+"""Collect round-3 TPU campaign results into BASELINE.md.
 
-Reads whatever outputs/round3 and the campaign dirs contain, appends a
-measured-results section to BASELINE.md, and commits it — so the numbers are
-recorded even if the campaign chain finishes unattended.
+Reads whatever outputs/round3 and the campaign dirs contain, writes a
+measured-results section into BASELINE.md, and commits it — so the numbers
+are recorded even if the campaign chain finishes unattended.  IDEMPOTENT:
+the section lives between marker comments and is replaced on re-run, so the
+chain can call this after every major step (partial results get recorded
+as soon as they exist, not only if the whole chain survives to the end).
 """
 
 from __future__ import annotations
@@ -13,6 +16,8 @@ import subprocess
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+MARK_BEGIN = "<!-- round3-measured-results:begin -->"
+MARK_END = "<!-- round3-measured-results:end -->"
 
 
 def read_json_line(path: Path):
@@ -27,6 +32,14 @@ def read_json_line(path: Path):
     except OSError:
         pass
     return None
+
+
+def guarded(fn):
+    """One malformed artifact must not block reporting the others."""
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 — unattended chain step
+        print(f"report_round3: skipping a row: {type(e).__name__}: {e}")
 
 
 def main():
@@ -55,9 +68,9 @@ def main():
                          f"round-2 flagship model) | {m.group(1)} fps "
                          f"({m.group(2)} ms/frame) | round-2: 11.6 fps | | |")
 
-    summ = REPO / "outputs/flagship_vendor/summary.json"
-    if summ.exists():
-        s = json.loads(summ.read_text())
+    def flagship_row():
+        s = json.loads((REPO / "outputs/flagship_vendor/summary.json")
+                       .read_text())
         h = s.get("holdout", {})
         lines.append(
             f"| flagship on INDEPENDENT imagery (800x800, "
@@ -71,21 +84,28 @@ def main():
             f"{s.get('num_gaussians_peak')}) | "
             f"{s.get('sustained_it_per_s', 0):.2f} it/s sustained |"
         )
-    ev = read_json_line(REPO / "outputs/round3/eval_holdout.log")
-    if ev:
-        lines.append(f"| eval.py on held-out views (views 0,9,18,27) | PSNR "
-                     f"{ev.get('psnr_mean'):.2f} | SSIM "
-                     f"{ev.get('ssim_mean'):.4f} | L1 {ev.get('l1_mean'):.4f} "
-                     f"| |")
-    ev2 = read_json_line(REPO / "outputs/round3/eval_all.log")
-    if ev2:
-        lines.append(f"| eval.py over ALL 36 views | PSNR "
-                     f"{ev2.get('psnr_mean'):.2f} | SSIM "
-                     f"{ev2.get('ssim_mean'):.4f} | | |")
 
-    sh4 = REPO / "outputs/flagship_sh4/summary.json"
-    if sh4.exists():
-        s = json.loads(sh4.read_text())
+    if (REPO / "outputs/flagship_vendor/summary.json").exists():
+        guarded(flagship_row)
+
+    def eval_rows():
+        ev = read_json_line(REPO / "outputs/round3/eval_holdout.log")
+        if ev:
+            lines.append(f"| eval.py on held-out views (views 0,9,18,27) | "
+                         f"PSNR {ev.get('psnr_mean'):.2f} | SSIM "
+                         f"{ev.get('ssim_mean'):.4f} | L1 "
+                         f"{ev.get('l1_mean'):.4f} | |")
+        ev2 = read_json_line(REPO / "outputs/round3/eval_all.log")
+        if ev2:
+            lines.append(f"| eval.py over ALL 36 views | PSNR "
+                         f"{ev2.get('psnr_mean'):.2f} | SSIM "
+                         f"{ev2.get('ssim_mean'):.4f} | | |")
+
+    guarded(eval_rows)
+
+    def sh4_row():
+        s = json.loads((REPO / "outputs/flagship_sh4/summary.json")
+                       .read_text())
         lines.append(
             f"| SH4 scale campaign (resumed) | PSNR {s.get('final_psnr'):.2f} "
             f"at iter {s['workload'].get('iterations')} | gaussians "
@@ -94,13 +114,24 @@ def main():
             f"{s.get('sustained_it_per_s', 0) or 0:.2f} it/s | |"
         )
 
+    if (REPO / "outputs/flagship_sh4/summary.json").exists():
+        guarded(sh4_row)
+
     if len(lines) <= 3:
         print("no results to report yet")
         return
     lines.insert(3, "| metric | value | | | notes |")
     lines.insert(4, "|---|---|---|---|---|")
-    with open(REPO / "BASELINE.md", "a") as f:
-        f.write("\n".join(lines) + "\n")
+    section = MARK_BEGIN + "\n" + "\n".join(lines) + "\n" + MARK_END + "\n"
+    baseline = REPO / "BASELINE.md"
+    text = baseline.read_text()
+    if MARK_BEGIN in text and MARK_END in text:
+        head, rest = text.split(MARK_BEGIN, 1)
+        _, tail = rest.split(MARK_END, 1)
+        text = head + section + tail
+    else:
+        text = text + "\n" + section
+    baseline.write_text(text)
     print("\n".join(lines))
     subprocess.run(["git", "add", "BASELINE.md"], cwd=REPO, check=False)
     subprocess.run(

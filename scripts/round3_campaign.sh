@@ -10,6 +10,12 @@ LOG=outputs/round3
 
 echo "=== round3 campaign chain start: $(date -u +%FT%TZ) ===" | tee -a $LOG/chain.log
 
+# Round deadline (epoch seconds): SH4 — the open-ended leg — is bounded so
+# the final bench + report always get wall-clock.  outputs/round3/deadline
+# (or GSPLAT_ROUND_DEADLINE) holds the absolute cutoff; default 4h from now.
+DEADLINE=${GSPLAT_ROUND_DEADLINE:-$(cat $LOG/deadline 2>/dev/null || echo $(($(date +%s) + 14400)))}
+left() { echo $(( DEADLINE - $(date +%s) )); }
+
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 tmo=$2; shift 2
   echo "--- $name: $* ($(date -u +%T)Z)" | tee -a $LOG/chain.log
@@ -45,6 +51,9 @@ if [ -f outputs/flagship/iteration_30000.ply ]; then
       --bench-frames 64 --white-background
 fi
 
+# Record the cheap measurements NOW (idempotent; re-run after each leg).
+run report_early 600 python scripts/report_round3.py
+
 # 5. flagship campaign on INDEPENDENT imagery (ray-traced 800x800 x 36 views,
 #    4 held out) — the round's top deliverable. Supervisor restarts on RPC
 #    wedges; checkpoints are bit-exact.
@@ -57,15 +66,20 @@ if [ ! -f outputs/vendor_scene_800/sparse/0/points3D.bin ]; then
       || { echo "scene generation FAILED — skipping flagship_vendor" \
            | tee -a $LOG/chain.log; }
 fi
+FLAG_BUDGET=$(( $(left) - 2400 ))  # leave 40 min for eval + sh4 gate + report
 if [ -f outputs/vendor_scene_800/sparse/0/points3D.bin ] && \
-   [ ! -f outputs/flagship_vendor/summary.json ]; then
-  python scripts/supervise_train.py --stall-timeout 600 --max-restarts 12 \
+   [ ! -f outputs/flagship_vendor/summary.json ] && \
+   [ "$FLAG_BUDGET" -gt 900 ]; then
+  echo "--- flagship_vendor: budget ${FLAG_BUDGET}s ($(date -u +%T)Z)" | tee -a $LOG/chain.log
+  timeout "$FLAG_BUDGET" \
+    python scripts/supervise_train.py --stall-timeout 600 --max-restarts 12 \
       --out outputs/flagship_vendor -- \
       python scripts/train_flagship_tpu.py \
         --dataset-root outputs/vendor_scene_800 --holdout 4 \
         --iters 30000 --sh-degree 3 --densify-until 15000 \
         --checkpoint-interval 2000 --out outputs/flagship_vendor \
         2>&1 | tee -a $LOG/flagship_vendor.log
+  echo "--- flagship_vendor leg done rc=$? ($(date -u +%T)Z)" | tee -a $LOG/chain.log
 fi
 
 # 5b. independent eval.py pass on the trained model: held-out views
@@ -80,15 +94,28 @@ if [ -n "$PLY" ]; then
       --ply "$PLY" --max-pairs 4194304
 fi
 
+run report_mid 600 python scripts/report_round3.py
+
 # 6. continue the SH4 scale campaign (resumes from the round-2 checkpoint;
 #    flags MATCH the checkpoint's recorded config — iters feeds the LR
-#    schedule, densify-until 20000 / ckpt 2500 are what the run used)
-python scripts/supervise_train.py --stall-timeout 900 --max-restarts 12 \
-    --out outputs/flagship_sh4 -- \
-    python scripts/train_flagship_tpu.py --iters 30000 --sh-degree 4 \
-      --grad-threshold 5e-5 --densify-until 20000 \
-      --checkpoint-interval 2500 --out outputs/flagship_sh4 \
-      2>&1 | tee -a $LOG/flagship_sh4.log
+#    schedule, densify-until 20000 / ckpt 2500 are what the run used).
+#    Deadline-bounded: leave 25 min for the final bench + report; checkpoints
+#    every 2500 iters make any cutoff resumable next round.
+SH4_BUDGET=$(( $(left) - 1500 ))
+if [ "$SH4_BUDGET" -gt 1200 ]; then
+  echo "--- sh4 resume: budget ${SH4_BUDGET}s ($(date -u +%T)Z)" | tee -a $LOG/chain.log
+  timeout "$SH4_BUDGET" \
+    python scripts/supervise_train.py --stall-timeout 900 --max-restarts 12 \
+      --out outputs/flagship_sh4 -- \
+      python scripts/train_flagship_tpu.py --iters 30000 --sh-degree 4 \
+        --grad-threshold 5e-5 --densify-until 20000 \
+        --checkpoint-interval 2500 --out outputs/flagship_sh4 \
+        2>&1 | tee -a $LOG/flagship_sh4.log
+  echo "--- sh4 leg done rc=$? ($(date -u +%T)Z)" | tee -a $LOG/chain.log
+else
+  echo "--- skipping sh4 resume: only $(left)s left before deadline" \
+      | tee -a $LOG/chain.log
+fi
 
 # 7. re-bench at end (warm caches, post-campaign chip state)
 run bench_final 1500 python bench.py
