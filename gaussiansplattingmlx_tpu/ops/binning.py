@@ -55,6 +55,18 @@ from . import merge_pallas
 _CUM_CLAMP = 2**30 - 1
 
 
+def use_merge_pallas(max_pairs: int) -> bool:
+    """Gate for the Pallas merge kernels (shared with ops/staging.py):
+    GSPLAT_MERGE=sort forces the portable fallback, =pallas forces the
+    kernel; auto uses it on TPU when the budget divides the block."""
+    mode = os.environ.get("GSPLAT_MERGE", "auto")
+    return (
+        mode != "sort"
+        and max_pairs % merge_pallas.BLOCK == 0
+        and (mode == "pallas" or jax.default_backend() == "tpu")
+    )
+
+
 def _saturating_cumsum(footprint: jax.Array) -> jax.Array:
     """Inclusive cumsum of nonneg int32 saturating at _CUM_CLAMP, wrap-free.
 
@@ -96,7 +108,8 @@ def _tile_bounds(rect_min, rect_max, tile_w, tile_h, grid_w, grid_h):
 class PairExpansion(NamedTuple):
     """Shared pair-expansion state (used by bin_gaussians and ops/staging)."""
 
-    rank: jax.Array  # [max_pairs] compacted-gaussian rank per pair slot
+    rank: jax.Array | None  # [max_pairs] compacted rank per pair slot
+    cum_keep: jax.Array  # [n] compacted inclusive cumsum (pad: clamp+1)
     keep_idx: jax.Array  # [n] compaction permutation (actives first)
     tmin_x: jax.Array  # [n]
     tmin_y: jax.Array  # [n]
@@ -117,10 +130,13 @@ def expand_pairs(
     tile_w: int,
     tile_h: int,
     max_pairs: int,
+    need_rank: bool = True,
 ) -> PairExpansion:
     """Exact (gaussian, tile) pair expansion onto the static pair axis:
     footprints, saturating cumsum, compaction and the pair->gaussian merge.
-    Integer/stop-grad only."""
+    Integer/stop-grad only.  `need_rank=False` skips the [max_pairs]-scale
+    merge (rank=None) for callers that fuse it into a downstream kernel
+    (ops/staging.py uses merge_pallas.merge_gather on `cum_keep` directly)."""
     n = rect_min.shape[0]
     grid_w = -(-image_width // tile_w)
     grid_h = -(-image_height // tile_h)
@@ -167,22 +183,19 @@ def expand_pairs(
     )
     cum_keep = jnp.where(sort_key == 0, cum[keep_idx], _CUM_CLAMP + 1)
 
-    p = jnp.arange(max_pairs, dtype=jnp.int32)
-    merge_mode = os.environ.get("GSPLAT_MERGE", "auto")
-    use_pallas = (
-        merge_mode != "sort"
-        and max_pairs % merge_pallas.BLOCK == 0
-        and (merge_mode == "pallas" or jax.default_backend() == "tpu")
-    )
-    if use_pallas:
-        rank = merge_pallas.merge_ranks(cum_keep, max_pairs)
+    if need_rank:
+        p = jnp.arange(max_pairs, dtype=jnp.int32)
+        if use_merge_pallas(max_pairs):
+            rank = merge_pallas.merge_ranks(cum_keep, max_pairs)
+        else:
+            rank = jnp.searchsorted(
+                cum_keep, p, side="right", method="sort"
+            ).astype(jnp.int32)
+        rank = jnp.minimum(rank, n - 1)
     else:
-        rank = jnp.searchsorted(
-            cum_keep, p, side="right", method="sort"
-        ).astype(jnp.int32)
-    rank = jnp.minimum(rank, n - 1)
+        rank = None
     return PairExpansion(
-        rank=rank, keep_idx=keep_idx,
+        rank=rank, cum_keep=cum_keep, keep_idx=keep_idx,
         tmin_x=tmin_x, tmin_y=tmin_y, rw=jnp.maximum(rw, 1),
         block_start=cum - footprint,
         num_pairs=num_pairs,

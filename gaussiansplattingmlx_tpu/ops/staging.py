@@ -11,12 +11,15 @@ rasterizer kernel — measured on v5e (docs/DESIGN.md roofline, 2M budget):
 
 Because TPU gather cost is per-index — a 24-wide row costs the same as an
 8-wide row — and lax.sort scales sub-linearly in payload columns (17 columns
-at 1.3M rows: 5.7 ms), the four operations fuse into three with strictly
-fewer indexed elements:
+at 1.3M rows: 5.7 ms), the four operations fuse into two [max_pairs]-scale
+indexed passes plus MXU work that rides the merge kernel:
 
-    1. ONE wide-table row-gather: the per-gaussian table carries the tile
-       rect columns AND the 11 packed record floats (bitcast), so the pair
-       stream holds everything downstream needs.
+    1. The pair-stream gather is FUSED into the blocked-merge kernel
+       (merge_pallas.merge_gather): the per-gaussian table carries the tile
+       rect columns AND the 11 record floats as real f32 values, and each
+       block's rank-relative row selection is ONE one-hot MXU contraction
+       against the table window already in VMEM — no [max_pairs] row gather
+       at all.
     2. ONE sort on (tile, depth) carrying the records + gaussian id as
        payloads — the pairs land in composite order with their records.
     3. ONE [num_aligned] row-gather for the chunk-aligned relayout, emitting
@@ -34,12 +37,14 @@ tests/test_staging.py (same keys, same stable sort, same emission order).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from . import binning as binning_mod
+from . import merge_pallas
 from . import rasterize_pallas as rp
 
 # packed [N, 11] reference layout -> kernel record layout (depth/op swapped);
@@ -76,8 +81,23 @@ def _num_aligned(st: StagingStatic) -> int:
     return st.max_pairs + grid_w * grid_h * st.chunk
 
 
+def _use_merge_gather(st: StagingStatic, n: int) -> bool:
+    """Gate for the fused merge+gather kernel: value-exact f32 carriage
+    needs n, max_pairs <= 2^24; GSPLAT_MERGE=sort forces the portable
+    row-gather fallback."""
+    mode = os.environ.get("GSPLAT_MERGE", "auto")
+    return (
+        mode != "sort"
+        and st.max_pairs % merge_pallas.BLOCK == 0
+        and st.max_pairs <= 2 ** 24
+        and n <= 2 ** 24
+        and (mode == "pallas" or st.interpret
+             or jax.default_backend() == "tpu")
+    )
+
+
 def _sorted_pairs(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
-    """Steps 1-2: wide-table gather + payload sort.  Returns
+    """Steps 1-2: fused merge+gather + payload sort.  Returns
     (sorted_cols, tile_start, tile_count, expansion)."""
     n = packed.shape[0]
     grid_w = -(-st.image_width // st.tile_w)
@@ -85,53 +105,67 @@ def _sorted_pairs(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
     num_tiles = grid_w * grid_h
 
     depths = jax.lax.stop_gradient(depths)
+    use_kernel = _use_merge_gather(st, n)
     e = binning_mod.expand_pairs(
         rect_min, rect_max, radii, depths,
         st.image_width, st.image_height, st.tile_w, st.tile_h, st.max_pairs,
+        need_rank=not use_kernel,
     )
     keep = e.keep_idx
 
-    # --- 1. wide per-gaussian table (compacted order), ONE [P] row gather ---
-    rec_kernel = packed[:, list(_PERM)]  # [N, 11] kernel component order
-    rec_bits = jax.lax.bitcast_convert_type(
-        rec_kernel.astype(jnp.float32), jnp.int32
-    )
-    table = jnp.concatenate(
+    # --- 1. per-gaussian table (compacted order), REAL f32 values -----------
+    # Small integers (tile rect, block_start <= max_pairs for any selected
+    # row, gaussian id) are exact in f32 up to 2^24 (gated above); depth and
+    # the 11 record floats pass through unchanged.  No bitcasting: the fused
+    # kernel's one-hot MXU contraction reproduces values bit-for-bit.
+    rec_kernel = packed[:, list(_PERM)].astype(jnp.float32)  # [N, 11]
+    tbl = jnp.concatenate(
         [
             jnp.stack(
                 [
-                    e.tmin_x[keep], e.tmin_y[keep], e.rw[keep],
-                    e.block_start[keep],
-                    jax.lax.bitcast_convert_type(
-                        depths.astype(jnp.float32), jnp.int32
-                    )[keep],
-                    keep,
+                    e.tmin_x[keep].astype(jnp.float32),
+                    e.tmin_y[keep].astype(jnp.float32),
+                    e.rw[keep].astype(jnp.float32),
+                    e.block_start[keep].astype(jnp.float32),
+                    depths.astype(jnp.float32)[keep],
+                    keep.astype(jnp.float32),
                 ],
-                axis=1,
+                axis=0,
             ),
-            rec_bits[keep],
-            jnp.zeros((n, 7), jnp.int32),  # pad to 24 (row width ~free)
+            rec_kernel[keep].T,
+            jnp.zeros((merge_pallas.TBL_ROWS - 17, n), jnp.float32),
         ],
-        axis=1,
-    )  # [n, 24] int32
-    g = table[e.rank]  # [max_pairs, 24]
+        axis=0,
+    )  # [24, n]
+
+    if use_kernel:
+        # Merge + gather in ONE Pallas pass: the [max_pairs] row gather
+        # (~6.5 ns/index, ~10 ms at 2M pairs) becomes an in-kernel one-hot
+        # MXU contraction against the table window already in VMEM.
+        g = merge_pallas.merge_gather(
+            e.cum_keep, tbl, st.max_pairs, interpret=st.interpret
+        )  # [24, max_pairs]
+    else:
+        g = tbl[:, e.rank]  # portable fallback: one [max_pairs] row gather
 
     p = jnp.arange(st.max_pairs, dtype=jnp.int32)
     valid = p < e.num_pairs
     tiles = binning_mod.enumerate_tiles(
-        g[:, 3], g[:, 2], g[:, 0], g[:, 1], grid_w
+        g[3].astype(jnp.int32),
+        jnp.maximum(g[2].astype(jnp.int32), 1),  # zero-pad rows: avoid /0
+        g[0].astype(jnp.int32),
+        g[1].astype(jnp.int32),
+        grid_w,
     )
     tile_ids = jnp.where(valid, tiles, num_tiles)
-    depth_keys = jnp.where(
-        valid, jax.lax.bitcast_convert_type(g[:, 4], jnp.float32), jnp.inf
-    )
-    gid = jnp.where(valid, g[:, 5], 0)
+    depth_keys = jnp.where(valid, g[4], jnp.inf)
+    gid = jnp.where(valid, g[5].astype(jnp.int32), 0)
 
     # --- 2. ONE stable sort on (tile, depth) with records as payloads -------
     # Identical keys + stable + identical gaussian-major input order as the
     # split pipeline => identical permutation (bit-exact parity).
     sorted_cols = jax.lax.sort(
-        (tile_ids, depth_keys) + tuple(g[:, 6 + i] for i in range(11)) + (gid,),
+        (tile_ids, depth_keys) + tuple(g[6 + i] for i in range(11)) + (gid,),
         num_keys=2,
         is_stable=True,
     )
@@ -159,7 +193,7 @@ def _stage_impl(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
     # Sorted pair table [max_pairs, 16]: 11 record components, gid bits in
     # column 11 (the kernels never read past column 10), zero tail.
     sorted_table = jnp.stack(
-        [jax.lax.bitcast_convert_type(c, jnp.float32) for c in sorted_cols[2:13]]
+        list(sorted_cols[2:13])
         + [jax.lax.bitcast_convert_type(sorted_cols[13], jnp.float32)]
         + [jnp.zeros((st.max_pairs,), jnp.float32)] * (rp.REC_DIM - 12),
         axis=1,
@@ -277,8 +311,7 @@ def stage_pairs_sorted(
         st, packed, rect_min, rect_max, radii, depths
     )
     sorted_table = jnp.stack(
-        [jax.lax.bitcast_convert_type(c, jnp.float32)
-         for c in sorted_cols[2:13]]
+        list(sorted_cols[2:13])
         + [jnp.zeros((st.max_pairs,), jnp.float32)] * (rp.REC_DIM - 11),
         axis=1,
     )
