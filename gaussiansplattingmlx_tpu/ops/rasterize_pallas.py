@@ -465,20 +465,19 @@ def _zero_cot(x):
     return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-def aligned_relayout(tile_start, tile_count, num_tiles: int, C: int,
-                     num_aligned: int):
-    """Chunk-aligned relayout index math, shared by the split pipeline below
-    and the fused staging (ops/staging.py) so the two can never diverge.
+def aligned_chunk_plan(tile_start, tile_count, num_tiles: int, C: int,
+                       num_aligned: int):
+    """Per-CHUNK relayout plan, shared by the split pipeline, the fused
+    staging gather, AND the Pallas relayout kernel so they can never diverge.
 
     Every C-slot chunk has exactly one owning tile, so the owner table is
     computed per CHUNK (num_aligned/C entries) and broadcast — per-SLOT
     searchsorted/gathers over the [num_aligned] axis lower to while-loops
     that cost ~100x more than all the real work (measured).
 
-    Returns (aligned_start [num_tiles], src [num_aligned], within
-    [num_aligned]): tile t's pairs live at aligned columns
-    [aligned_start[t], aligned_start[t] + tile_count[t]), sourced from
-    sorted-pair positions `src` where `within` is True."""
+    Returns (aligned_start [num_tiles], owner [nchunks], rank0 [nchunks]):
+    chunk c copies the owner's sorted pairs starting at within-tile rank
+    rank0[c] (>= 0; ranks past tile_count are padding)."""
     nchunks_per_tile = -(-tile_count // C)  # ceil
     aligned_sizes = nchunks_per_tile * C
     aligned_start = (jnp.cumsum(aligned_sizes) - aligned_sizes).astype(jnp.int32)
@@ -486,7 +485,7 @@ def aligned_relayout(tile_start, tile_count, num_tiles: int, C: int,
     chunk_first_slot = jnp.arange(nchunks_total, dtype=jnp.int32) * C
     # Owning tile: last tile whose aligned range starts at or before the
     # chunk (empty tiles share the next tile's start and own no chunks).
-    owner_c = jnp.clip(
+    owner = jnp.clip(
         jnp.searchsorted(aligned_start, chunk_first_slot, side="right").astype(
             jnp.int32
         )
@@ -494,11 +493,26 @@ def aligned_relayout(tile_start, tile_count, num_tiles: int, C: int,
         0,
         num_tiles - 1,
     )  # [nchunks_total]
-    slot = jnp.arange(num_aligned, dtype=jnp.int32).reshape(nchunks_total, C)
-    rank = slot - aligned_start[owner_c][:, None]
-    within = (rank < tile_count[owner_c][:, None]).reshape(-1)
+    rank0 = chunk_first_slot - aligned_start[owner]
+    return aligned_start, owner, rank0
+
+
+def aligned_relayout(tile_start, tile_count, num_tiles: int, C: int,
+                     num_aligned: int):
+    """Per-SLOT relayout index math on top of aligned_chunk_plan.
+
+    Returns (aligned_start [num_tiles], src [num_aligned], within
+    [num_aligned]): tile t's pairs live at aligned columns
+    [aligned_start[t], aligned_start[t] + tile_count[t]), sourced from
+    sorted-pair positions `src` where `within` is True."""
+    aligned_start, owner, rank0 = aligned_chunk_plan(
+        tile_start, tile_count, num_tiles, C, num_aligned
+    )
+    lane = jnp.arange(C, dtype=jnp.int32)[None, :]
+    rank = rank0[:, None] + lane
+    within = (rank < tile_count[owner][:, None]).reshape(-1)
     src = jnp.where(
-        within, (tile_start[owner_c][:, None] + rank).reshape(-1), 0
+        within, (tile_start[owner][:, None] + rank).reshape(-1), 0
     )
     return aligned_start, src, within
 

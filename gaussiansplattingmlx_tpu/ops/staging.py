@@ -22,8 +22,9 @@ indexed passes plus MXU work that rides the merge kernel:
        at all.
     2. ONE sort on (tile, depth) carrying the records + gaussian id as
        payloads — the pairs land in composite order with their records.
-    3. ONE [num_aligned] row-gather for the chunk-aligned relayout, emitting
-       the kernel-layout record buffer directly.
+    3. The chunk-aligned relayout is a blocked-copy Pallas kernel (every
+       aligned chunk copies a CONTIGUOUS sorted run: floor-aligned DMA +
+       dynamic lane roll + tail mask), not a per-index gather.
 
 Differentiability: staging is index machinery around ONE linear read of the
 packed records, so the whole pipeline is a custom_vjp whose backward is the
@@ -42,6 +43,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import binning as binning_mod
 from . import merge_pallas
@@ -181,6 +184,105 @@ def _sorted_pairs(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
     return sorted_cols, tile_start, tile_count, e
 
 
+# --- Pallas chunk-aligned relayout -------------------------------------------
+#
+# The aligned relayout is NOT a general gather: every C-slot output chunk
+# copies a CONTIGUOUS run of sorted pair columns (its tile's pairs, offset by
+# the chunk's within-tile rank).  A per-index row gather costs ~6.5 ns/index
+# (~13-14 ms at the 2M budget); a blocked copy kernel pays only the DMA — it
+# reads the floor-aligned window, lane-ROLLS by the misalignment (dynamic
+# shift, bit-preserving: gid bit patterns in row 11 survive), masks the tail
+# past tile_count to exact zeros, and writes the aligned chunk.
+
+
+def _relayout_kernel(src128_ref, shift_ref, nvalid_ref, sorted_hbm, out_ref,
+                     win_vmem, sem, *, C, K2, SUB, ng):
+    g = pl.program_id(0)
+
+    def copy(chunk, slot):
+        off = pl.multiple_of(src128_ref[chunk], 128)
+        return pltpu.make_async_copy(
+            sorted_hbm.at[:, pl.ds(off, K2)], win_vmem.at[slot], sem.at[slot]
+        )
+
+    @pl.when(g == 0)
+    def _():
+        for j in range(SUB):
+            copy(j, j).start()
+
+    phase = jax.lax.rem(g, 2)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    for j in range(SUB):
+        slot = phase * SUB + j
+
+        @pl.when(g + 1 < ng)
+        def _(j=j):
+            copy((g + 1) * SUB + j, (1 - phase) * SUB + j).start()
+
+        copy(g * SUB + j, slot).wait()
+        c = g * SUB + j
+        win = win_vmem[slot]  # (REC_DIM, K2)
+        rolled = pltpu.roll(win, -shift_ref[c], axis=1)[:, :C]
+        # Padding-chunk shifts can exceed K2 (roll wraps) — nvalid == 0 there,
+        # so the mask yields the exact zeros the gradient path requires.
+        out_ref[:, j * C:(j + 1) * C] = jnp.where(
+            lane_c < nvalid_ref[c], rolled, 0.0
+        )
+
+
+def _relayout_pallas(st: StagingStatic, sorted_cm, tile_start, tile_count,
+                     owner, rank0):
+    """sorted_cm [REC_DIM, max_pairs] -> aligned records [REC_DIM,
+    num_aligned], bit-identical to the per-slot gather path."""
+    C = st.chunk
+    K2 = ((C + 127) // 128 + 1) * 128  # window: C lanes + up-to-127 shift
+    num_aligned = _num_aligned(st)
+    nchunks = num_aligned // C
+    sub = 8
+    while nchunks % sub:
+        sub //= 2
+    ng = nchunks // sub
+
+    src0 = tile_start[owner] + rank0
+    nvalid = jnp.clip(tile_count[owner] - rank0, 0, C)
+    # Clamp padding-chunk windows into the zero tail (max_pairs is a
+    # 128-multiple, so the clamped offset stays lane-aligned).
+    src128 = jnp.minimum((src0 // 128) * 128, st.max_pairs).astype(jnp.int32)
+    shift = (src0 - src128).astype(jnp.int32)
+    sorted_pad = jnp.concatenate(
+        [sorted_cm, jnp.zeros((rp.REC_DIM, K2), jnp.float32)], axis=1
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ng,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((rp.REC_DIM, sub * C), lambda g, *_: (0, g),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * sub, rp.REC_DIM, K2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * sub,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_relayout_kernel, C=C, K2=K2, SUB=sub, ng=ng),
+        out_shape=jax.ShapeDtypeStruct((rp.REC_DIM, num_aligned), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=st.interpret,
+    )(src128, shift, nvalid, sorted_pad)
+
+
+def _use_relayout_kernel(st: StagingStatic) -> bool:
+    """GSPLAT_RELAYOUT=gather forces the per-slot row-gather fallback."""
+    mode = os.environ.get("GSPLAT_RELAYOUT", "auto")
+    return (
+        mode != "gather"
+        and st.max_pairs % 128 == 0
+        and (mode == "pallas" or st.interpret
+             or jax.default_backend() == "tpu")
+    )
+
+
 def _stage_impl(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
     grid_w = -(-st.image_width // st.tile_w)
     grid_h = -(-st.image_height // st.tile_h)
@@ -190,33 +292,56 @@ def _stage_impl(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
         st, packed, rect_min, rect_max, radii, depths
     )
 
-    # Sorted pair table [max_pairs, 16]: 11 record components, gid bits in
-    # column 11 (the kernels never read past column 10), zero tail.
-    sorted_table = jnp.stack(
-        list(sorted_cols[2:13])
-        + [jax.lax.bitcast_convert_type(sorted_cols[13], jnp.float32)]
-        + [jnp.zeros((st.max_pairs,), jnp.float32)] * (rp.REC_DIM - 12),
-        axis=1,
-    )
-
-    # --- 3. chunk-aligned relayout, ONE [num_aligned] row gather -------------
+    # --- 3. chunk-aligned relayout ------------------------------------------
     # Index math shared with the split pipeline (rasterize_pallas.
-    # aligned_relayout) so the two paths cannot diverge.
+    # aligned_chunk_plan) so the paths cannot diverge.  Default: the Pallas
+    # blocked-copy kernel (each aligned chunk is a contiguous sorted run —
+    # no per-index gather).  Fallback: ONE [num_aligned] row gather.
     num_aligned = _num_aligned(st)
-    aligned_start, src, within = rp.aligned_relayout(
+    aligned_start, owner, rank0 = rp.aligned_chunk_plan(
         tile_start, tile_count, num_tiles, C, num_aligned
     )
+    lane = jnp.arange(C, dtype=jnp.int32)[None, :]
+    within = ((rank0[:, None] + lane) < tile_count[owner][:, None]).reshape(-1)
 
-    aligned = sorted_table[src]  # [num_aligned, 16] row gather
-    # Select-form masking: garbage in never-written tails cannot reach the
-    # gradient (0 * NaN would).
-    aligned = jnp.where(within[:, None], aligned, 0.0)
-    gid_aligned = jnp.where(
-        within,
-        jax.lax.bitcast_convert_type(aligned[:, 11], jnp.int32),
-        st.num_rec,
-    ).astype(jnp.int32)
-    records_cm = aligned.T
+    if _use_relayout_kernel(st):
+        # Sorted pair table [16, max_pairs] column-major: 11 record
+        # components, gid bits in row 11 (the kernels never read past 10).
+        sorted_cm = jnp.stack(
+            list(sorted_cols[2:13])
+            + [jax.lax.bitcast_convert_type(sorted_cols[13], jnp.float32)]
+            + [jnp.zeros((st.max_pairs,), jnp.float32)] * (rp.REC_DIM - 12),
+            axis=0,
+        )
+        records_cm = _relayout_pallas(
+            st, sorted_cm, tile_start, tile_count, owner, rank0
+        )
+        gid_aligned = jnp.where(
+            within,
+            jax.lax.bitcast_convert_type(records_cm[11], jnp.int32),
+            st.num_rec,
+        ).astype(jnp.int32)
+    else:
+        sorted_table = jnp.stack(
+            list(sorted_cols[2:13])
+            + [jax.lax.bitcast_convert_type(sorted_cols[13], jnp.float32)]
+            + [jnp.zeros((st.max_pairs,), jnp.float32)] * (rp.REC_DIM - 12),
+            axis=1,
+        )
+        rank = rank0[:, None] + lane
+        src = jnp.where(
+            within, (tile_start[owner][:, None] + rank).reshape(-1), 0
+        )
+        aligned = sorted_table[src]  # [num_aligned, 16] row gather
+        # Select-form masking: garbage in never-written tails cannot reach
+        # the gradient (0 * NaN would).
+        aligned = jnp.where(within[:, None], aligned, 0.0)
+        gid_aligned = jnp.where(
+            within,
+            jax.lax.bitcast_convert_type(aligned[:, 11], jnp.int32),
+            st.num_rec,
+        ).astype(jnp.int32)
+        records_cm = aligned.T
 
     staged = StagedPairs(
         records_cm=records_cm,

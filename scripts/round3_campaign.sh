@@ -27,12 +27,23 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 # 1. compiled-kernel parity incl. fused staging + inference paths.
-#    If the NEW fused/inference kernels fail to compile or mis-compare on the
-#    real chip, fall back to the round-2 split pipeline for the campaigns.
+#    Graded fallback if a kernel fails to compile or mis-compare on the real
+#    chip: first drop the relayout kernel, then the merge kernels, then the
+#    whole fused pipeline (round-2 split path).
 if ! run tpu_check 1200 python scripts/tpu_check.py; then
-  echo "!!! tpu_check failed — forcing GSPLAT_STAGING=split for the rest" \
+  echo "!!! tpu_check failed — retrying with GSPLAT_RELAYOUT=gather" \
       | tee -a $LOG/chain.log
-  export GSPLAT_STAGING=split
+  export GSPLAT_RELAYOUT=gather
+  if ! run tpu_check_norelayout 1200 python scripts/tpu_check.py; then
+    echo "!!! still failing — retrying with GSPLAT_MERGE=sort" \
+        | tee -a $LOG/chain.log
+    export GSPLAT_MERGE=sort
+    if ! run tpu_check_nomerge 1200 python scripts/tpu_check.py; then
+      echo "!!! still failing — forcing GSPLAT_STAGING=split for the rest" \
+          | tee -a $LOG/chain.log
+      export GSPLAT_STAGING=split
+    fi
+  fi
 fi
 
 # 2. authoritative headline bench (fail-fast; free chip)

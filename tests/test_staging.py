@@ -334,3 +334,27 @@ def test_bwd_dead_chunk_skip_heavy_occlusion():
     # The dead gaussians (never contributing to any pixel) get EXACT zeros.
     dead = np.asarray(g)[ncon_max + 8:]
     np.testing.assert_array_equal(dead, 0.0)
+
+
+def test_relayout_kernel_matches_gather_fallback(monkeypatch):
+    """The Pallas blocked-copy relayout == the per-slot row-gather fallback
+    bit-for-bit (records, gid sentinel layout, aligned starts)."""
+    params, cam = scene(seed=11)
+    p, packed = _geometry(params, cam)
+    st, staged_k = _staged(packed, p.rect_min, p.rect_max, p.radii, p.depths)
+    assert staging._use_relayout_kernel(st)
+    _, gid_k = staging._stage_impl(
+        st, packed, p.rect_min, p.rect_max, p.radii, p.depths
+    )
+    monkeypatch.setenv("GSPLAT_RELAYOUT", "gather")
+    assert not staging._use_relayout_kernel(st)
+    staged_g, gid_g = staging._stage_impl(
+        st, packed, p.rect_min, p.rect_max, p.radii, p.depths
+    )
+    np.testing.assert_array_equal(
+        np.asarray(staged_k.records_cm), np.asarray(staged_g.records_cm)
+    )
+    np.testing.assert_array_equal(np.asarray(gid_k), np.asarray(gid_g))
+    np.testing.assert_array_equal(
+        np.asarray(staged_k.aligned_start), np.asarray(staged_g.aligned_start)
+    )
