@@ -37,6 +37,9 @@ def parse_args(argv=None):
                    help="write an animated turntable (GIF) to this path; "
                         "--orbit sets the frame count")
     p.add_argument("--video-fps", type=int, default=30)
+    p.add_argument("--no-auto-pairs", action="store_true",
+                   help="disable the probe-based pair-budget auto-shrink "
+                        "(use the --max-pairs budget verbatim)")
     p.add_argument("--bench-frames", type=int, default=0,
                    help="after rendering, loop this many frames back-to-back "
                         "and report sustained rendered frames/s (the "
@@ -115,7 +118,7 @@ def main(argv=None):
                 backend=args.backend,
                 inference=True,
             )
-            return out.color, out.depth, aux.overflow_pairs
+            return out.color, out.depth, aux.overflow_pairs, aux.num_pairs
 
         return render_view
 
@@ -137,15 +140,42 @@ def main(argv=None):
         """Render with overflow handling: a clipped pair budget doubles
         max_pairs (one re-trace) and re-renders — never a truncated frame."""
         nonlocal cfg, render_view
-        color, depth, ovfl = render_view(*cam)
+        color, depth, ovfl, _ = render_view(*cam)
         while float(ovfl) > 0 and cfg.max_pairs < cfg.max_pairs_limit:
             cfg = _dc.replace(cfg, max_pairs=min(cfg.max_pairs * 2,
                                                  cfg.max_pairs_limit))
             print(f"pair-budget overflow: growing max_pairs to "
                   f"{cfg.max_pairs} (recompile)", flush=True)
             render_view = make_render_view(cfg)
-            color, depth, ovfl = render_view(*cam)
+            color, depth, ovfl, _ = render_view(*cam)
         return color, depth
+
+    if not args.no_auto_pairs:
+        # Viewer-grade budget sizing: every staging stage (merge, sort,
+        # relayout, kernel DMA sweeps) pays for the full static max_pairs
+        # budget whether slots are valid or not, so an oversized budget taxes
+        # every frame.  Probe a few orbit views, then shrink the budget to
+        # the observed peak + headroom (chunk/merge-block aligned).  Never
+        # grows past the CLI budget; per-frame overflow handling above stays
+        # as the safety net for un-probed views.
+        n_frames = max(args.orbit, args.bench_frames, 1)
+        probe_idx = sorted({int(i) for i in
+                            np.linspace(0, n_frames - 1, min(4, n_frames))})
+        peak = 0
+        for i in probe_idx:
+            _, _, ovfl, npair = render_view(*cam_tensors(i, n_frames))
+            peak = max(peak, int(float(npair)) + int(float(ovfl)))
+        quantum = max(512, cfg.chunk_size)  # merge BLOCK / DMA chunk aligned
+        snug = max(quantum, -(-int(peak * 1.25) // quantum) * quantum)
+        snug = min(snug, cfg.max_pairs_limit)
+        if snug != cfg.max_pairs:
+            # Shrink oversized budgets AND jump straight to a sufficient one
+            # when the probe clipped (one recompile instead of doublings).
+            print(f"auto pair budget: peak {peak} pairs over "
+                  f"{len(probe_idx)} probe views -> max_pairs {snug} "
+                  f"(was {cfg.max_pairs})", flush=True)
+            cfg = _dc.replace(cfg, max_pairs=snug)
+            render_view = make_render_view(cfg)
 
     frames = []
     for i in range(args.orbit):
@@ -176,13 +206,24 @@ def main(argv=None):
 
         cams = [cam_tensors(i, args.bench_frames)
                 for i in range(args.bench_frames)]
-        color, _, _ = render_view(*cams[0])  # warm cache for this shape
-        float(color[0, 0, 0])  # fetch = true sync (block_until_ready can lie
-        # on tunneled backends — it may return before execution finishes)
-        t0 = time.perf_counter()
-        outs = [render_view(*c)[0] for c in cams]
-        float(outs[-1][0, 0, 0])
-        dt = time.perf_counter() - t0
+        for attempt in range(2):
+            color, _, _, _ = render_view(*cams[0])  # warm cache, this shape
+            float(color[0, 0, 0])  # fetch = true sync (block_until_ready can
+            # lie on tunneled backends — return before execution finishes)
+            t0 = time.perf_counter()
+            outs = [render_view(*c) for c in cams]
+            float(outs[-1][0][0, 0, 0])
+            dt = time.perf_counter() - t0
+            # Overflow audit OUTSIDE the timed region: a truncated frame must
+            # never back an fps claim.  Grow once and re-run if any clipped.
+            clipped = sum(float(o[2]) for o in outs)
+            if clipped == 0 or cfg.max_pairs >= cfg.max_pairs_limit:
+                break
+            cfg = _dc.replace(cfg, max_pairs=min(cfg.max_pairs * 2,
+                                                 cfg.max_pairs_limit))
+            print(f"bench overflow ({clipped:.0f} pairs clipped): growing "
+                  f"max_pairs to {cfg.max_pairs}, re-running", flush=True)
+            render_view = make_render_view(cfg)
         fps = args.bench_frames / dt
         print(f"rendered {args.bench_frames} frames at "
               f"{args.width}x{args.height}: {fps:.1f} frames/s "

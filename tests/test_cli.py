@@ -121,7 +121,8 @@ def test_train_resume(trained, tmp_path):
 
 def test_render_cli_overflow_autogrow(trained, tmp_path):
     """A render budget that clips grows (recompile) instead of producing a
-    truncated frame."""
+    truncated frame — via the probe auto-sizer (one jump) or the per-frame
+    doubling safety net."""
     scene, out, _ = trained
     ply = sorted(out.glob("iteration_*.ply"))[-1]
     r = run_cli(
@@ -130,5 +131,19 @@ def test_render_cli_overflow_autogrow(trained, tmp_path):
         "--backend", "reference", "--max-pairs", "16",
     )
     assert r.returncode == 0, r.stderr[-3000:]
-    assert "growing max_pairs" in r.stdout
+    assert ("auto pair budget" in r.stdout) or ("growing max_pairs" in r.stdout)
+    assert (tmp_path / "render_000.png").exists()
+
+
+def test_render_cli_auto_pairs_shrink(trained, tmp_path):
+    """An oversized viewer budget shrinks to the probed peak (+headroom)."""
+    scene, out, _ = trained
+    ply = sorted(out.glob("iteration_*.ply"))[-1]
+    r = run_cli(
+        "render_cli.py", "--ply", str(ply), "--out", str(tmp_path),
+        "--width", "32", "--height", "32", "--orbit", "1",
+        "--backend", "reference", "--max-pairs", "65536",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "auto pair budget" in r.stdout, r.stdout
     assert (tmp_path / "render_000.png").exists()
