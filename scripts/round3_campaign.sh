@@ -53,6 +53,10 @@ cp $LOG/bench.log outputs/round3/bench_first.json 2>/dev/null
 # 3. stage breakdown: split vs fused staging, inference render
 run profile 2400 python scripts/profile_breakdown.py --size 800 \
     --gaussians 100000 --max-pairs 1572864
+# 3b. chunk-size sweep: C=256 halves per-chunk overhead on the fwd/bwd
+#     sweeps at 2x VMEM per buffer; record which wins for future campaigns.
+run profile_c256 2400 python scripts/profile_breakdown.py --size 800 \
+    --gaussians 100000 --max-pairs 1572864 --chunk 256
 
 # 4. inference fps on the round-2 flagship model (25k gaussians)
 if [ -f outputs/flagship/iteration_30000.ply ]; then
