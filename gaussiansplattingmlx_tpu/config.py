@@ -42,6 +42,14 @@ class RasterizerConfig:
     # equivalent.
     auto_grow: bool = True
     max_pairs_limit: int = 2 ** 23
+    # Undo auto-grow overshoot: campaigns that doubled through a densify peak
+    # keep paying peak-sized staging forever (every stage pays for the full
+    # static budget).  Rendering is budget-independent while overflow is zero
+    # (exact binning; stable sort keeps real rows in order), so the Trainer
+    # shrinks back toward the observed peak at a log boundary — never below
+    # the configured max_pairs, with a 2.2x hysteresis margin against
+    # re-growth thrash.
+    auto_shrink: bool = True
     # Gaussian records processed per inner chunk of the Pallas kernel.
     chunk_size: int = 128
     # Per-Gaussian gradient reduction: "segsum" (sort + MXU segment-sum

@@ -337,6 +337,12 @@ class Trainer:
         # Accumulated overflow already warned about / grown for (host mirror
         # of TrainState.overflow_acc[0] at the last handling point).
         self._overflow_handled = 0.0
+        # Auto-shrink window state: the configured budget is the shrink floor
+        # (auto-shrink only undoes auto-GROW overshoot), peak/obs track logged
+        # num_pairs since the last budget change.
+        self._initial_max_pairs = config.raster.max_pairs
+        self._pairs_peak = 0.0
+        self._pairs_obs = 0
 
     def _build_train_step(self):
         cfg, data = self.cfg, self.data
@@ -429,6 +435,7 @@ class Trainer:
         acc = metrics.get("overflow_pairs_acc", metrics.get("overflow_pairs", 0))
         new_overflow = acc - self._overflow_handled
         if new_overflow <= 0:
+            self._maybe_shrink_raster(metrics)
             return
         if r.max_pairs < r.max_pairs_limit:
             new = dataclasses.replace(
@@ -452,6 +459,52 @@ class Trainer:
                 file=sys.stderr, flush=True,
             )
         self._overflow_handled = acc
+        self._pairs_peak = 0.0
+        self._pairs_obs = 0
+
+    def _maybe_shrink_raster(self, metrics: Dict) -> None:
+        """Shrink the pair budget back toward the observed peak once it is
+        clearly oversized (auto-grow overshoot past a densify peak).
+
+        Trajectory-neutral: with overflow at zero the rendered outputs are
+        bit-identical across budgets (binning is exact and the stable sort
+        keeps real rows in the same order regardless of padding), so only
+        step cost changes.  Hysteresis: >= 8 logged observations since the
+        last budget change, a 2.2x peak margin before shrinking, landing at
+        peak*1.4, never below the user-configured budget."""
+        import sys
+
+        r = self.cfg.raster
+        if not r.auto_shrink:
+            return
+        self._pairs_peak = max(
+            self._pairs_peak, float(metrics.get("num_pairs", 0.0))
+        )
+        self._pairs_obs += 1
+        floor = min(self._initial_max_pairs, r.max_pairs)
+        if (
+            self._pairs_obs < 8
+            or r.max_pairs <= floor
+            or self._pairs_peak * 2.2 >= r.max_pairs
+        ):
+            return
+        snug = max(
+            ((int(self._pairs_peak * 1.4) + 511) // 512) * 512, floor
+        )
+        if snug >= r.max_pairs:
+            return
+        print(
+            f"pair budget underused by step {int(self.state.step)} "
+            f"(window peak {int(self._pairs_peak)} vs budget {r.max_pairs}); "
+            f"shrinking max_pairs {r.max_pairs}->{snug} (recompile)",
+            file=sys.stderr, flush=True,
+        )
+        self.cfg = dataclasses.replace(
+            self.cfg, raster=dataclasses.replace(r, max_pairs=snug)
+        )
+        self._build_train_step()
+        self._pairs_peak = 0.0
+        self._pairs_obs = 0
 
     def next_key(self):
         self.key, sub = jax.random.split(self.key)

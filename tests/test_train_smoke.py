@@ -325,3 +325,52 @@ def test_checkpoint_rewraps_typed_prng_key(tmp_path):
         np.asarray(jax.random.uniform(restored)),
         np.asarray(jax.random.uniform(typed)),
     )
+
+
+def test_budget_auto_shrink_is_trajectory_neutral(scene, capsys):
+    """An oversized pair budget (auto-grow overshoot) shrinks back toward the
+    observed peak at a log boundary, and the trajectory is BIT-IDENTICAL to a
+    run that kept the oversized budget throughout: rendering is
+    budget-independent while overflow is zero."""
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    pc = PointCloud(coords=pts, colors=cols * 255.0)
+
+    def make_cfg():
+        return TrainConfig(
+            iterations=24, init_points=len(pts), log_interval=2,
+            snapshot_interval=10**9, checkpoint_interval=0, output_dir="",
+            model=ModelConfig(sh_degree=0, initial_capacity=64),
+            raster=RASTER,
+            densify=DensifyConfig(from_iter=10**9),
+        )
+
+    def simulate_growth(trainer, budget):
+        # What auto-grow does mid-run: bump the budget + rebuild the step.
+        trainer.cfg = dataclasses.replace(
+            trainer.cfg,
+            raster=dataclasses.replace(trainer.cfg.raster, max_pairs=budget),
+        )
+        trainer._build_train_step()
+
+    t_shrink = Trainer(make_cfg(), data, pc, backend="reference")
+    simulate_growth(t_shrink, 16384)
+    t_shrink.run()
+    err = capsys.readouterr().err
+    assert "shrinking max_pairs" in err, err
+    assert t_shrink.cfg.raster.max_pairs < 16384
+    # Floor: never below the user-configured budget.
+    assert t_shrink.cfg.raster.max_pairs >= RASTER.max_pairs
+
+    t_fixed = Trainer(make_cfg(), data, pc, backend="reference")
+    simulate_growth(t_fixed, 16384)
+    t_fixed.cfg = dataclasses.replace(
+        t_fixed.cfg,
+        raster=dataclasses.replace(t_fixed.cfg.raster, auto_shrink=False),
+    )
+    t_fixed.run()
+
+    a = jax.tree.map(np.asarray, t_shrink.state.params)
+    b = jax.tree.map(np.asarray, t_fixed.state.params)
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(la, lb)
