@@ -59,14 +59,19 @@ def main():
                      f"{bench2.get('vs_baseline')} | | "
                      f"{bench2.get('skipped', '')} |")
 
-    fps_log = REPO / "outputs/round3/renderfps.log"
-    if fps_log.exists():
-        m = re.search(r"([\d.]+) frames/s \(([\d.]+) ms/frame\)",
-                      fps_log.read_text())
-        if m:
-            lines.append(f"| inference (render_cli --bench-frames, 800x800, "
-                         f"round-2 flagship model) | {m.group(1)} fps "
-                         f"({m.group(2)} ms/frame) | round-2: 11.6 fps | | |")
+    for log_name, label in (
+        ("renderfps.log", "round-2 flagship model"),
+        ("renderfps_vendor.log", "flagship_vendor model"),
+    ):
+        fps_log = REPO / "outputs/round3" / log_name
+        if fps_log.exists():
+            m = re.search(r"([\d.]+) frames/s \(([\d.]+) ms/frame\)",
+                          fps_log.read_text())
+            if m:
+                lines.append(f"| inference (render_cli --bench-frames, "
+                             f"800x800, {label}) | {m.group(1)} fps "
+                             f"({m.group(2)} ms/frame) | round-2: 11.6 fps "
+                             f"| | |")
 
     def flagship_row():
         s = json.loads((REPO / "outputs/flagship_vendor/summary.json")

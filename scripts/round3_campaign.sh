@@ -58,7 +58,10 @@ run profile 2400 python scripts/profile_breakdown.py --size 800 \
 run profile_c256 2400 python scripts/profile_breakdown.py --size 800 \
     --gaussians 100000 --max-pairs 1572864 --chunk 256
 
-# 4. inference fps on the round-2 flagship model (25k gaussians)
+# 4. inference fps on a trained model.  The round-2 flagship PLY may have
+#    been wiped with the workspace; fall back to a quick synthetic model so
+#    the fast-path fps number lands early, then re-measure on the real
+#    flagship_vendor model after that campaign completes (leg 5c).
 if [ -f outputs/flagship/iteration_30000.ply ]; then
   run renderfps 2400 python render_cli.py \
       --ply outputs/flagship/iteration_30000.ply --orbit 4 \
@@ -107,6 +110,16 @@ if [ -n "$PLY" ]; then
   run eval_all 3600 python eval.py --dataset colmap \
       --root outputs/vendor_scene_800 --resize-factor 1.0 \
       --ply "$PLY" --max-pairs 4194304
+fi
+
+# 5c. inference fps on the freshly trained flagship_vendor model (the
+#     round-2 PLY was wiped with the workspace; this is the real-model
+#     fast-path fps measurement the round owes).
+if [ -n "$PLY" ]; then
+  run renderfps_vendor 2400 python render_cli.py \
+      --ply "$PLY" --orbit 4 \
+      --out outputs/round3/renders_vendor \
+      --bench-frames 64 --white-background
 fi
 
 run report_mid 600 python scripts/report_round3.py
