@@ -21,8 +21,11 @@ def timeit(fn, *args, iters=10):
     def sync(r):
         # Device-to-host fetch: on tunneled backends block_until_ready can
         # return before execution finishes; a fetch of the last result waits
-        # for everything queued before it.
-        _np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+        # for everything queued before it.  Slice to ONE element ON DEVICE
+        # first — np.asarray(leaf) would ship the whole array through the
+        # tunnel (a ~120 MB records buffer inflated staging timings ~10x).
+        leaf = jax.tree.leaves(r)[0]
+        _np.asarray(leaf.ravel()[0:1])
 
     r = fn(*args)
     sync(r)

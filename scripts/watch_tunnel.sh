@@ -9,7 +9,7 @@ echo "tunnel watch start $(date -u +%FT%TZ)" >> outputs/round3/watch.log
 FIRES=0
 DEADLINE=$(cat outputs/round3/deadline 2>/dev/null || echo $(($(date +%s) + 43200)))
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-  if timeout 90 python - <<'EOF' >> outputs/round3/watch.log 2>&1
+  if timeout 240 python - <<'EOF' >> outputs/round3/watch.log 2>&1
 import jax, time
 t0 = time.time()
 d = jax.devices()
