@@ -65,7 +65,12 @@ def child(progress_path: str):
     # budget is sized with ~11% headroom because every static-axis stage
     # (sort, gathers, kernel DMA) pays for the full budget whether slots are
     # valid or not — a 2x budget would tax the honest number ~25%.
-    cfg = RasterizerConfig(max_pairs=1_572_864)  # 12288 chunks of 128
+    # GSPLAT_BENCH_CHUNK sweeps the kernel inner-chunk size (default 128)
+    # without code edits — used for end-of-round A/B on the real chip.
+    cfg = RasterizerConfig(
+        max_pairs=1_572_864,  # 12288 chunks of 128
+        chunk_size=int(os.environ.get("GSPLAT_BENCH_CHUNK", 128)),
+    )
 
     rng = np.random.default_rng(0)
     # Lego-like scene: points in a unit-ish volume, camera orbiting at r=4,
