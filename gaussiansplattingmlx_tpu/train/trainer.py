@@ -438,8 +438,24 @@ class Trainer:
             self._maybe_shrink_raster(metrics)
             return
         if r.max_pairs < r.max_pairs_limit:
+            # Demand-based growth: num_pairs + overflow_pairs is the TRUE pair
+            # demand of the logged step (ops/binning.py:161-164), so when the
+            # logged step itself overflowed, grow to a snug 1.3x margin over
+            # demand instead of blindly doubling (a 0.1% overflow should not
+            # buy a 2x budget that taxes every later staging pass).  A 1.25x
+            # minimum growth factor keeps the recompile count geometric, and
+            # when the overflow happened only on a NON-logged step (logged
+            # overflow_pairs == 0, demand unknown) fall back to doubling.
+            step_overflow = float(metrics.get("overflow_pairs", 0.0))
+            if step_overflow > 0:
+                demand = float(metrics.get("num_pairs", 0.0)) + step_overflow
+                target = max(int(demand * 1.3), int(r.max_pairs * 1.25))
+            else:
+                target = r.max_pairs * 2
+            target = ((target + 511) // 512) * 512
             new = dataclasses.replace(
-                r, max_pairs=min(r.max_pairs * 2, r.max_pairs_limit)
+                r, max_pairs=min(max(target, r.max_pairs + 512),
+                                 r.max_pairs_limit)
             )
             print(
                 f"WARNING: pair-budget overflow by step {int(self.state.step)} "

@@ -26,26 +26,31 @@ if [ -n "${SUP_PID:-}" ] && kill -0 "$SUP_PID" 2>/dev/null; then
   sleep 5
 fi
 
+# An interrupted run leaves only checkpoints — export the newest to PLY.
+if ! ls outputs/flagship_vendor/iteration_*.ply >/dev/null 2>&1; then
+  run ckpt_to_ply 300 env GSPLAT_PLATFORM=cpu JAX_PLATFORMS=cpu \
+      python scripts/ckpt_to_ply.py outputs/flagship_vendor
+fi
 PLY=$(ls -t outputs/flagship_vendor/iteration_*.ply 2>/dev/null | head -1)
 echo "--- newest PLY: ${PLY:-none}" | tee -a $LOG/wrapup.log
 
 # 2. held-out eval on the trained model (the round's honest quality number)
 if [ -n "$PLY" ]; then
-  run eval_holdout 900 python eval.py --dataset colmap \
+  run eval_holdout 480 python eval.py --dataset colmap \
       --root outputs/vendor_scene_800 --resize-factor 1.0 \
-      --ply "$PLY" --views 0,9,18,27 --max-pairs 4194304 \
+      --ply "$PLY" --views 0,9,18,27 --max-pairs 8388608 \
       --save-renders $LOG/eval_holdout
 fi
 
 # 3. inference fps on the trained model (fast path)
 if [ -n "$PLY" ]; then
-  run renderfps_vendor 900 python render_cli.py --ply "$PLY" --orbit 4 \
+  run renderfps_vendor 360 python render_cli.py --ply "$PLY" --orbit 4 \
       --out $LOG/renders_vendor --bench-frames 32 --white-background
 fi
 
 # 4. final bench + chunk-256 A/B
-run bench_final 1200 python bench.py
-run bench_c256 1200 env GSPLAT_BENCH_CHUNK=256 python bench.py
+run bench_final 420 python bench.py
+run bench_c256 300 env GSPLAT_BENCH_CHUNK=256 python bench.py
 
 # 5. record, persist, commit
 run report 300 python scripts/report_round3.py

@@ -300,6 +300,60 @@ def test_overflow_on_unlogged_step_triggers_growth(scene, capsys):
     assert "WARNING: pair-budget overflow" in capsys.readouterr().err
 
 
+def test_overflow_growth_is_demand_based(scene, capsys):
+    """When the LOGGED step overflows, num_pairs + overflow_pairs is the true
+    pair demand, so growth lands at a snug ~1.3x margin over demand instead of
+    blindly doubling (a 0.1% overflow must not buy a 2x budget that taxes
+    every later staging pass).  The 1.25x minimum keeps recompiles geometric."""
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    pc = PointCloud(coords=pts, colors=cols * 255.0)
+    # Probe the true demand with a one-step trainer at a huge budget (the
+    # trainer's init from the point cloud is deterministic, so the tight run
+    # below sees the same first-step demand), then set the budget ~10% under.
+    probe_cfg = TrainConfig(
+        iterations=1, init_points=len(pts), log_interval=1,
+        snapshot_interval=10**9, checkpoint_interval=0, output_dir="",
+        model=ModelConfig(sh_degree=0, initial_capacity=64),
+        raster=dataclasses.replace(RASTER, max_pairs=1 << 16),
+        densify=DensifyConfig(from_iter=10**9),
+    )
+    probe_log = []
+    Trainer(probe_cfg, data, pc, backend="reference").run(
+        on_metrics=probe_log.append
+    )
+    demand_probe = int(probe_log[0]["num_pairs"])
+    budget = max(128, (demand_probe * 9 // 10) // 128 * 128)  # ~10% overflow
+    cfg = TrainConfig(
+        iterations=2, init_points=len(pts), log_interval=1,
+        snapshot_interval=10**9, checkpoint_interval=0, output_dir="",
+        model=ModelConfig(sh_degree=0, initial_capacity=64),
+        raster=dataclasses.replace(
+            RASTER, max_pairs=budget, max_pairs_limit=1 << 22
+        ),
+        densify=DensifyConfig(from_iter=10**9),
+    )
+    trainer = Trainer(cfg, data, pc, backend="reference")
+    log = []
+    trainer.run(on_metrics=log.append)
+    overflowed = [m for m in log if m["overflow_pairs"] > 0]
+    if not overflowed:  # trainer params differ from the probe; skip quietly
+        import pytest
+
+        pytest.skip("scene did not overflow at the probed budget")
+    demand = overflowed[0]["num_pairs"] + overflowed[0]["overflow_pairs"]
+    grown = trainer.cfg.raster.max_pairs
+    assert grown > budget
+    # Snug: within alignment slack of max(demand*1.3, budget*1.25) — and in
+    # particular strictly below the blind 2x whenever demand*1.3 is.
+    expected = max(int(demand * 1.3), int(budget * 1.25))
+    expected = (expected + 511) // 512 * 512
+    assert grown == min(expected, trainer.cfg.raster.max_pairs_limit)
+    if expected < 2 * budget:
+        assert grown < 2 * budget
+    assert "WARNING: pair-budget overflow" in capsys.readouterr().err
+
+
 def test_checkpoint_rewraps_typed_prng_key(tmp_path):
     """A TYPED key (jax.random.key) must restore as the same typed key — the
     raw uint32 data alone would change the noise stream under non-default
