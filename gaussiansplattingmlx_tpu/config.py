@@ -128,6 +128,21 @@ class DensifyConfig:
     # (GaussianTrainer.swift:1105-1110), deviating from INRIA.  Keep as a
     # switch for behavioural parity.
     reset_optimizer_state: bool = True
+    # --- training-health options beyond the reference (INRIA-style) ---------
+    # The reference never resets opacity or prunes oversized gaussians
+    # (GaussianTrainer.swift:344-427 classify kernel has neither input); on
+    # scenes with large extent / sky this lets opacity saturate at 1.0 and
+    # world-screen-filling gaussians survive, which blurs the fit and blows up
+    # the tile-pair budget.  Both knobs default OFF for reference parity.
+    # opacity_reset_interval > 0: every N iterations (while densification is
+    # active) clamp sigmoid(opacity) to <= opacity_reset_value and zero the
+    # opacity Adam moments — INRIA gaussian-splatting train.py reset_opacity().
+    opacity_reset_interval: int = 0
+    opacity_reset_value: float = 0.01
+    # prune_world_scale > 0: at densify time also prune gaussians whose
+    # max(exp(scale)) exceeds this many world units — INRIA's big_points_ws
+    # prune (0.1 * scene extent).
+    prune_world_scale: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -23,6 +23,7 @@ host grows capacity between rounds (see trainer.maybe_grow).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -55,6 +56,7 @@ def split_and_prune(
     split_noise_factor: float = 0.1,
     clone_noise_std: float = 0.01,
     max_gaussians: int = 1_000_000,
+    prune_world_scale: float = 0.0,
 ):
     cap = params.capacity
     slot = jnp.arange(cap, dtype=jnp.int32)
@@ -69,6 +71,13 @@ def split_and_prune(
     )
 
     prune = jnp.logical_and(active, op_val < min_opacity)
+    if prune_world_scale > 0:
+        # INRIA-style big_points_ws prune (absent from the reference's
+        # classify kernel): screen-filling gaussians blur the fit and
+        # dominate the tile-pair budget.  See DensifyConfig.prune_world_scale.
+        prune = jnp.logical_or(
+            prune, jnp.logical_and(active, max_scale_val > prune_world_scale)
+        )
     grow = jnp.logical_and(
         jnp.logical_and(active, jnp.logical_not(prune)),
         jnp.logical_and(allow, avg_grad > grad_threshold),
@@ -151,6 +160,26 @@ def split_and_prune(
         densify_enabled=densify_ok,
     )
     return new_params, stats, gather_idx, noise_mode
+
+
+def reset_opacity(params: GaussianParams, num_active: jax.Array,
+                  reset_value: float = 0.01) -> GaussianParams:
+    """INRIA-style periodic opacity reset (no reference counterpart).
+
+    Clamps sigmoid(opacity) to <= reset_value for live gaussians, leaving
+    already-more-transparent ones (and inactive slots) untouched:
+        opacity_raw = min(opacity_raw, logit(reset_value))
+    Saturated opacities block gradient flow to everything behind them; the
+    periodic reset forces the model to re-earn its opacity and lets densify
+    prune what never recovers.  See DensifyConfig.opacity_reset_interval."""
+    import numpy as np
+
+    logit = float(np.log(reset_value) - np.log1p(-reset_value))
+    active = jnp.arange(params.capacity, dtype=jnp.int32) < num_active
+    new_op = jnp.where(
+        active[:, None], jnp.minimum(params.opacity, logit), params.opacity
+    )
+    return dataclasses.replace(params, opacity=new_op)
 
 
 def remap_optimizer_moments(moments, gather_idx, noise_mode):

@@ -188,6 +188,7 @@ def make_densify_step(cfg: TrainConfig) -> Callable:
             split_noise_factor=cfg.densify.split_noise_factor,
             clone_noise_std=cfg.densify.clone_noise_std,
             max_gaussians=cfg.model.max_gaussians,
+            prune_world_scale=cfg.densify.prune_world_scale,
         )
         if cfg.densify.reset_optimizer_state:
             # Reference behaviour: fresh Adam after densify
@@ -209,6 +210,28 @@ def make_densify_step(cfg: TrainConfig) -> Callable:
         return new_state, stats
 
     return densify_step
+
+
+def make_opacity_reset_step(cfg: TrainConfig) -> Callable:
+    """Jitted INRIA-style opacity reset (DensifyConfig.opacity_reset_interval):
+    clamp live opacities to <= opacity_reset_value and zero the opacity Adam
+    moments so the optimizer does not immediately re-saturate them."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def opacity_reset_step(state: TrainState):
+        new_params = densify_mod.reset_opacity(
+            state.params, state.num_active, cfg.densify.opacity_reset_value
+        )
+        zero_op = lambda t: dataclasses.replace(
+            t, opacity=jnp.zeros_like(t.opacity)
+        )
+        new_opt = adam.AdamState(
+            m=zero_op(state.opt.m), v=zero_op(state.opt.v),
+            count=state.opt.count,
+        )
+        return dataclasses.replace(state, params=new_params, opt=new_opt)
+
+    return opacity_reset_step
 
 
 def grow_capacity(state: TrainState, new_capacity: int) -> TrainState:
@@ -332,6 +355,7 @@ class Trainer:
             self.views = stack_views(data)
         self._build_train_step()
         self.densify_step = make_densify_step(config)
+        self.opacity_reset_step = make_opacity_reset_step(config)
         self.history: list = []
         self.out_dir = Path(config.output_dir)
         # Accumulated overflow already warned about / grown for (host mirror
@@ -578,6 +602,15 @@ class Trainer:
                     # (unsharded) densify gather/scatter.
                     self.state = self._sharding.replicate_state(self.state, self.mesh)
                 self.maybe_grow()
+
+            if (
+                cfg.densify.opacity_reset_interval > 0
+                and it % cfg.densify.opacity_reset_interval == 0
+                and it <= cfg.densify.until_iter
+            ):
+                self.state = self.opacity_reset_step(self.state)
+                if self.mesh is not None:
+                    self.state = self._sharding.replicate_state(self.state, self.mesh)
 
             if it % cfg.log_interval == 0 or it == iterations:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -134,7 +134,17 @@ def main():
                     help="hold out this many evenly-spaced views from "
                          "training; evaluated at the end")
     ap.add_argument("--max-pairs", type=int, default=2**21)
+    ap.add_argument("--max-pairs-limit", type=int, default=2**23,
+                    help="auto-grow ceiling for the pair budget; raise for "
+                         "scenes whose exact pair demand exceeds 8.4M")
     ap.add_argument("--initial-capacity", type=int, default=2**15)
+    ap.add_argument("--opacity-reset-interval", type=int, default=0,
+                    help="INRIA-style periodic opacity reset (0 = off, the "
+                         "reference behaviour; 3000 = INRIA default). "
+                         "Prevents opacity saturation on large-extent scenes")
+    ap.add_argument("--prune-world-scale", type=float, default=0.0,
+                    help="prune gaussians larger than this many world units "
+                         "at densify time (0 = off; INRIA uses 0.1 x extent)")
     args = ap.parse_args()
 
     from gaussiansplattingmlx_tpu.utils.platform import apply_platform_env
@@ -307,10 +317,13 @@ def run_campaign(args, cams, images, pcd, W, H, out_dir,
             sh_degree=args.sh_degree, initial_capacity=args.initial_capacity,
             max_gaussians=1_000_000,
         ),
-        raster=RasterizerConfig(max_pairs=args.max_pairs),
+        raster=RasterizerConfig(max_pairs=args.max_pairs,
+                                max_pairs_limit=args.max_pairs_limit),
         densify=DensifyConfig(
             interval=100, from_iter=500, until_iter=args.densify_until,
             grad_threshold=args.grad_threshold,
+            opacity_reset_interval=args.opacity_reset_interval,
+            prune_world_scale=args.prune_world_scale,
         ),
     )
     data = TrainData(cameras=cams, images=images)

@@ -129,3 +129,47 @@ def test_max_gaussians_budget():
     newp, stats, _, _ = run(params, 8, accum, max_gaussians=8)
     assert int(stats.n_clone) == 0  # budget reached: densification off
     assert int(stats.num_active) == 8
+
+
+def test_prune_world_scale():
+    """INRIA-style oversized prune (DensifyConfig.prune_world_scale): a live
+    gaussian whose max world-space scale exceeds the threshold is removed even
+    at full opacity; off (0.0) keeps reference behaviour."""
+    cap = 8
+    params = make_params(4, cap, scales_log=-3.0, opacity_logit=5.0)
+    # gaussian 2 becomes huge: exp(1.0) ~ 2.72 world units
+    params = params.__class__(
+        **{**params.__dict__, "scales": params.scales.at[2, 0].set(1.0)}
+    )
+    newp, stats, _, _ = run(params, 4, np.zeros(cap))  # default: off
+    assert int(stats.n_prune) == 0 and int(stats.num_active) == 4
+    newp, stats, _, _ = run(params, 4, np.zeros(cap), prune_world_scale=2.0)
+    assert int(stats.n_prune) == 1 and int(stats.num_active) == 3
+
+
+def test_prune_world_scale_beats_split():
+    """An oversized gaussian with a high grad is pruned, not split."""
+    cap = 8
+    params = make_params(2, cap, scales_log=1.0, opacity_logit=5.0)
+    accum = np.ones(cap)
+    newp, stats, _, _ = run(params, 2, accum, prune_world_scale=2.0)
+    assert int(stats.n_split) == 0 and int(stats.n_prune) == 2
+
+
+def test_reset_opacity():
+    """Opacity reset clamps live gaussians to <= reset_value in sigmoid space
+    and leaves inactive slots and already-transparent ones untouched."""
+    cap = 8
+    params = make_params(4, cap, opacity_logit=6.0)  # sigmoid ~ 0.998
+    params = params.__class__(
+        **{**params.__dict__,
+           "opacity": params.opacity.at[1, 0].set(-8.0)  # already transparent
+                                    .at[6, 0].set(INACTIVE_OPACITY)}
+    )
+    out = densify.reset_opacity(params, jnp.int32(4), reset_value=0.01)
+    sig = jax.nn.sigmoid(np.asarray(out.opacity[:, 0]))
+    assert np.all(sig[:4] <= 0.01 + 1e-6)
+    assert np.isclose(float(out.opacity[1, 0]), -8.0)  # not raised
+    assert float(out.opacity[6, 0]) == INACTIVE_OPACITY  # untouched
+    assert np.allclose(np.asarray(out.opacity[4:6, 0]),
+                       np.asarray(params.opacity[4:6, 0]))

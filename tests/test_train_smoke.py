@@ -428,3 +428,37 @@ def test_budget_auto_shrink_is_trajectory_neutral(scene, capsys):
     b = jax.tree.map(np.asarray, t_fixed.state.params)
     for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(la, lb)
+
+
+def test_opacity_reset_in_loop(scene):
+    """DensifyConfig.opacity_reset_interval clamps live opacities in the
+    training loop at the configured cadence (INRIA reset_opacity; no
+    reference counterpart — defaults off)."""
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    pc = PointCloud(coords=pts, colors=cols * 255.0)
+    cfg = TrainConfig(
+        iterations=10,
+        init_points=len(pts),
+        log_interval=10,
+        snapshot_interval=10**9,
+        checkpoint_interval=0,
+        output_dir="",
+        model=ModelConfig(sh_degree=0, initial_capacity=64,
+                          init_opacity=0.9),  # start nearly saturated
+        raster=RASTER,
+        densify=DensifyConfig(from_iter=10**9, until_iter=10**9,
+                              opacity_reset_interval=10,
+                              opacity_reset_value=0.01),
+    )
+    trainer = Trainer(cfg, data, pc, backend="reference")
+    n0 = int(trainer.state.num_active)
+    before = jax.nn.sigmoid(np.asarray(trainer.state.params.opacity[:n0, 0]))
+    assert before.max() > 0.5
+    trainer.run()
+    n = int(trainer.state.num_active)
+    after = jax.nn.sigmoid(np.asarray(trainer.state.params.opacity[:n, 0]))
+    # reset fires at iteration 10 (the final step): everything clamped
+    assert after.max() <= 0.011
+    m = np.asarray(trainer.state.opt.m.opacity)
+    assert np.all(m[:n] == 0.0)
