@@ -59,18 +59,19 @@ def child(progress_path: str):
     W = H = 800
     N = 100_000
     SH_DEGREE = 3
-    # Binning is exact (no per-gaussian truncation); this scene bins 1.41M
-    # pairs, and the workload stats in the JSON line prove the budget is not
-    # clipping it (overflow_pairs == 0 at the achieved num_pairs).  The
-    # budget is sized with ~11% headroom because every static-axis stage
-    # (sort, gathers, kernel DMA) pays for the full budget whether slots are
-    # valid or not — a 2x budget would tax the honest number ~25%.
-    # GSPLAT_BENCH_CHUNK sweeps the kernel inner-chunk size (default 128)
-    # without code edits — used for end-of-round A/B on the real chip.
-    cfg = RasterizerConfig(
-        max_pairs=1_572_864,  # 12288 chunks of 128
-        chunk_size=int(os.environ.get("GSPLAT_BENCH_CHUNK", 128)),
-    )
+    # Binning is exact (no per-gaussian truncation); the workload stats in
+    # the JSON line prove the budget is not clipping it (overflow_pairs == 0
+    # at the achieved num_pairs).  The pair budget is sized to the EXACT
+    # demand (probed below with a cheap projection+footprint pass, +3%
+    # rounded up to the merge-block quantum) because every static-axis stage
+    # (sort, merge, relayout, kernel DMA) pays for the full budget whether
+    # slots are valid or not — render_cli.py auto-sizes viewer budgets the
+    # same way.  GSPLAT_BENCH_PAIRS overrides the probe.
+    # GSPLAT_BENCH_CHUNK sweeps the kernel inner-chunk size (default 128),
+    # GSPLAT_BENCH_TILE the tile edge (default 16) — A/B knobs for the real
+    # chip, no code edits.
+    chunk = int(os.environ.get("GSPLAT_BENCH_CHUNK", 128))
+    tile = int(os.environ.get("GSPLAT_BENCH_TILE", 16))
 
     rng = np.random.default_rng(0)
     # Lego-like scene: points in a unit-ish volume, camera orbiting at r=4,
@@ -94,6 +95,42 @@ def child(progress_path: str):
     t = cam.tensors()
     target = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
     zeros_hw = jnp.zeros((H, W), jnp.float32)
+
+    # --- probe the exact pair demand (projection + tile-footprint sum) ------
+    env_pairs = os.environ.get("GSPLAT_BENCH_PAIRS")
+    if env_pairs:
+        max_pairs = int(env_pairs)
+    else:
+        from gaussiansplattingmlx_tpu.ops import binning as binning_mod
+        from gaussiansplattingmlx_tpu.ops import projection as projection_mod
+
+        @jax.jit
+        def pair_demand(ptuple):
+            pp = gaussians.GaussianParams.from_tuple(ptuple)
+            means, shs, opacity, scales, rots = gaussians.activations(pp)
+            p = projection_mod.project_gaussians(
+                means, scales, rots, shs,
+                jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+                jnp.asarray(t["camera_center"]),
+                t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
+                W, H, SH_DEGREE,
+            )
+            gw, gh = -(-W // tile), -(-H // tile)
+            tmin_x, tmin_y, tmax_x, tmax_y = binning_mod._tile_bounds(
+                p.rect_min, p.rect_max, tile, tile, gw, gh
+            )
+            foot = jnp.maximum(tmax_x - tmin_x, 0) * jnp.maximum(
+                tmax_y - tmin_y, 0
+            )
+            return jnp.sum(jnp.where(p.radii > 0, foot, 0))
+
+        demand = int(pair_demand(params.as_tuple()))
+        quantum = 512 * ((chunk + 511) // 512)  # merge BLOCK x chunk alignment
+        max_pairs = -(-int(demand * 1.03) // quantum) * quantum
+    mark("probed")
+
+    cfg = RasterizerConfig(max_pairs=max_pairs, chunk_size=chunk,
+                           tile_w=tile, tile_h=tile)
 
     @jax.jit
     def train_like_step(ptuple):
@@ -147,6 +184,7 @@ def child(progress_path: str):
                 # the headline number — pairs actually binned, budget clipping
                 # (must be 0), and the per-tile depth distribution.
                 "num_pairs": round(num_pairs),
+                "max_pairs": max_pairs,
                 "overflow_pairs": round(ovfl_pairs),
                 "tile_depth_mean": round(depth_mean, 1),
                 "tile_depth_max": round(depth_max),
