@@ -10,17 +10,17 @@ round-3 measurement logs.  Idempotent: re-runs overwrite in place.
 
 from __future__ import annotations
 
+import argparse
 import shutil
 import subprocess
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 OUT = REPO / "outputs"
-ART = REPO / "artifacts" / "round3"
 
 # Per-campaign: newest iteration_*.ply, newest ckpt_* dir (full resume
 # state: params + Adam moments + RNG), metrics + summary.
-CAMPAIGNS = ("flagship_vendor", "flagship_sh4")
+CAMPAIGNS = ("flagship_vendor", "flagship_sh4", "scale_sh4")
 
 
 def newest(pattern: str, root: Path):
@@ -40,6 +40,10 @@ def copy(src: Path, dst: Path):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=4)
+    args = ap.parse_args()
+    ART = REPO / "artifacts" / f"round{args.round}"
     copied = False
     for name in CAMPAIGNS:
         root = OUT / name
@@ -59,7 +63,7 @@ def main():
             copy(ckpt, ART / name / ckpt.name)
             copied = True
 
-    r3 = OUT / "round3"
+    r3 = OUT / f"round{args.round}"
     if r3.is_dir():
         for f in sorted(r3.glob("*.log")):
             copy(f, ART / "logs" / f.name)
@@ -80,7 +84,7 @@ def main():
     subprocess.run(["git", "add", "-f", str(ART)], cwd=REPO, check=False)
     subprocess.run(
         ["git", "commit", "-q", "-m",
-         "Persist round-3 campaign artifacts (checkpoints, metrics, logs)"],
+         f"Persist round-{args.round} campaign artifacts (checkpoints, metrics, logs)"],
         cwd=REPO, check=False,
     )
 
