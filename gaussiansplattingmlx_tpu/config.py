@@ -109,6 +109,12 @@ class OptimizerConfig:
     lr_rotation: float = 1e-3
     lr_opacity: float = 2.5e-2
     xyz_lr_floor: float = 0.01  # max(1 - t, 0.01)
+    # INRIA-style position-LR scene scaling (no reference counterpart: the
+    # reference uses the raw table on every scene).  The effective position
+    # LR is lr_xyz * spatial_lr_scale; INRIA sets it to ~1.1x the camera
+    # bounding-sphere radius so position steps are proportional to scene
+    # size.  1.0 keeps reference behaviour.
+    spatial_lr_scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

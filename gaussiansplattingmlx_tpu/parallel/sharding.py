@@ -186,7 +186,7 @@ def make_dp_train_step(
 
         lrs = gaussians.learning_rates(
             state.step, total_iterations,
-            lr_xyz=cfg.optim.lr_xyz,
+            lr_xyz=cfg.optim.lr_xyz * cfg.optim.spatial_lr_scale,
             lr_features_dc=cfg.optim.lr_features_dc,
             lr_features_rest=cfg.optim.lr_features_rest,
             lr_scales=cfg.optim.lr_scales,

@@ -145,6 +145,10 @@ def main():
     ap.add_argument("--prune-world-scale", type=float, default=0.0,
                     help="prune gaussians larger than this many world units "
                          "at densify time (0 = off; INRIA uses 0.1 x extent)")
+    ap.add_argument("--spatial-lr-scale", default="1.0",
+                    help="position-LR scene scaling: a float, or 'auto' for "
+                         "INRIA's 1.1 x camera bounding-sphere radius "
+                         "(1.0 = reference behaviour)")
     args = ap.parse_args()
 
     from gaussiansplattingmlx_tpu.utils.platform import apply_platform_env
@@ -292,7 +296,8 @@ def run_campaign(args, cams, images, pcd, W, H, out_dir,
     import jax.numpy as jnp
 
     from gaussiansplattingmlx_tpu.config import (
-        DensifyConfig, ModelConfig, RasterizerConfig, TrainConfig,
+        DensifyConfig, ModelConfig, OptimizerConfig, RasterizerConfig,
+        TrainConfig,
     )
     from gaussiansplattingmlx_tpu.data.dataset import TrainData
     from gaussiansplattingmlx_tpu.models import gaussians
@@ -302,6 +307,17 @@ def run_campaign(args, cams, images, pcd, W, H, out_dir,
     from gaussiansplattingmlx_tpu.train.trainer import Trainer
 
     white_background = not args.dataset_root  # ray-traced scenes have a sky
+
+    if args.spatial_lr_scale == "auto":
+        centers = np.stack(
+            [np.asarray(c.tensors()["camera_center"]) for c in cams]
+        )
+        spatial_lr_scale = float(
+            1.1 * np.linalg.norm(centers - centers.mean(0), axis=1).max()
+        )
+        print(f"spatial_lr_scale auto: {spatial_lr_scale:.3f}", flush=True)
+    else:
+        spatial_lr_scale = float(args.spatial_lr_scale)
 
     cfg = TrainConfig(
         iterations=args.iters,
@@ -319,6 +335,7 @@ def run_campaign(args, cams, images, pcd, W, H, out_dir,
         ),
         raster=RasterizerConfig(max_pairs=args.max_pairs,
                                 max_pairs_limit=args.max_pairs_limit),
+        optim=OptimizerConfig(spatial_lr_scale=spatial_lr_scale),
         densify=DensifyConfig(
             interval=100, from_iter=500, until_iter=args.densify_until,
             grad_threshold=args.grad_threshold,

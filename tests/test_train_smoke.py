@@ -462,3 +462,34 @@ def test_opacity_reset_in_loop(scene):
     assert after.max() <= 0.011
     m = np.asarray(trainer.state.opt.m.opacity)
     assert np.all(m[:n] == 0.0)
+
+
+def test_spatial_lr_scale_scales_position_updates(scene):
+    """OptimizerConfig.spatial_lr_scale multiplies ONLY the position LR
+    (INRIA-style scene scaling; 1.0 = reference behaviour).  With scale 0
+    positions are frozen while every other parameter still moves."""
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    pc = PointCloud(coords=pts, colors=cols * 255.0)
+
+    def run_one(scale):
+        cfg = TrainConfig(
+            iterations=2, init_points=len(pts), log_interval=2,
+            snapshot_interval=10**9, checkpoint_interval=0, output_dir="",
+            model=ModelConfig(sh_degree=0, initial_capacity=64),
+            raster=RASTER,
+            optim=OptimizerConfig(spatial_lr_scale=scale),
+            densify=DensifyConfig(from_iter=10**9),
+        )
+        trainer = Trainer(cfg, data, pc, backend="reference")
+        init_xyz = np.asarray(trainer.state.params.xyz).copy()
+        init_dc = np.asarray(trainer.state.params.features_dc).copy()
+        trainer.run()
+        return (np.asarray(trainer.state.params.xyz) - init_xyz,
+                np.asarray(trainer.state.params.features_dc) - init_dc)
+
+    dxyz0, ddc0 = run_one(0.0)
+    assert np.all(dxyz0 == 0.0)  # positions frozen
+    assert np.abs(ddc0).max() > 0  # colors still train
+    dxyz2, _ = run_one(2.0)
+    assert np.abs(dxyz2).max() > 0
