@@ -97,6 +97,10 @@ def main(argv=None):
             raster_cfg=cfg,
             white_background=args.white_background,
             backend=args.backend,
+            # Forward-only metrics pass: the inference fast path (sorted-order
+            # staging, no aligned relayout) renders identical contributor sets
+            # with a fraction of the staging cost — render_cli uses the same.
+            inference=True,
         )
         return out.color
 
