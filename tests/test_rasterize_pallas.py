@@ -165,3 +165,14 @@ def test_backward_early_exit_grad(rng):
     g_pallas = np.asarray(jax.grad(mk_loss(run_pallas))(packed))
     g_oracle = np.asarray(jax.grad(mk_loss(run_oracle))(packed))
     np.testing.assert_allclose(g_pallas, g_oracle, rtol=5e-3, atol=5e-4)
+
+
+def test_forward_tile32_matches_oracle(rng):
+    """Tile size is a TPU tunable (SURVEY §7 'Known quirks': treat tile size
+    as tunable); 32x32 tiles bin fewer pairs at more pixels per pair.  The
+    kernel is parametric in (tile_w, tile_h) — verify against the oracle at
+    the coarse setting used by the GSPLAT_BENCH_TILE=32 A/B."""
+    packed, b, (W, H, tw, th) = make_scene(rng, n=32, W=64, H=64, tw=32, th=32)
+    got = run_pallas(packed, b, W, H, tw, th, chunk=8)
+    want = run_oracle(packed, b, W, H, tw, th)
+    assert_outputs_close(got, want)
