@@ -358,3 +358,33 @@ def test_relayout_kernel_matches_gather_fallback(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(staged_k.aligned_start), np.asarray(staged_g.aligned_start)
     )
+
+
+def test_fused_render_tile32_matches_split():
+    """The fused staging pipeline is parametric in tile size: at the 32x32
+    A/B setting (GSPLAT_BENCH_TILE=32) fused and split renders must still
+    agree bit-for-bit, and the oracle must agree in value."""
+    params, cam = scene(n=60, seed=9)
+    means, shs, opacity, scales, rots = gaussians.activations(params)
+    t = cam.tensors()
+
+    def run(backend, staging_mode):
+        cfg = RasterizerConfig(
+            tile_h=32, tile_w=32, max_pairs=2048, chunk_size=32,
+            staging=staging_mode,
+        )
+        out, aux = render(
+            means, shs, opacity, scales, rots,
+            jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+            jnp.asarray(t["camera_center"]),
+            t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
+            W, H, 0, raster_cfg=cfg, backend=backend,
+        )
+        assert int(aux.overflow_pairs) == 0
+        return np.asarray(out.color)
+
+    fused = run("pallas_interpret", "fused")
+    split = run("pallas_interpret", "split")
+    np.testing.assert_array_equal(fused, split)
+    oracle = run("reference", "split")
+    np.testing.assert_allclose(fused, oracle, rtol=1e-4, atol=1e-5)
