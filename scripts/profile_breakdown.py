@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--tile", type=int, default=16)
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--max-pairs", type=int, default=2**20)
+    ap.add_argument("--fine", action="store_true",
+                    help="also time each fused-staging sub-stage (expand, "
+                         "merge+gather, sort, tile ranges, relayout, "
+                         "gradient segment-sum) on precomputed inputs")
     args = ap.parse_args()
 
     import jax
@@ -240,6 +244,143 @@ def main():
     print(f"full fwd (split)  {timeit(full_fwd_split, means, shs, opacity, scales, rots):8.2f} ms", flush=True)
     print(f"full inference    {timeit(full_inference, means, shs, opacity, scales, rots):8.2f} ms", flush=True)
     print(f"full fwd+bwd      {timeit(full_both, params.as_tuple()):8.2f} ms")
+
+    if args.fine:
+        fine_staging(sst, packed, p, args)
+
+
+def fine_staging(sst, packed, p, args):
+    """Time each fused-staging sub-stage on precomputed device inputs —
+    the line items behind the `staging (fused)` total, so the free-chip
+    tuning window can attack the biggest one directly."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussiansplattingmlx_tpu.ops import binning as binning_mod
+    from gaussiansplattingmlx_tpu.ops import merge_pallas
+    from gaussiansplattingmlx_tpu.ops import rasterize_pallas as rp
+    from gaussiansplattingmlx_tpu.ops import staging as staging_mod
+
+    st = sst
+    rect_min, rect_max, radii, depths = p.rect_min, p.rect_max, p.radii, p.depths
+    grid_w = -(-st.image_width // st.tile_w)
+    grid_h = -(-st.image_height // st.tile_h)
+    num_tiles = grid_w * grid_h
+
+    @jax.jit
+    def f_expand(rect_min, rect_max, radii, depths):
+        return binning_mod.expand_pairs(
+            rect_min, rect_max, radii, depths,
+            st.image_width, st.image_height, st.tile_w, st.tile_h,
+            st.max_pairs, need_rank=False,
+        )
+
+    e = f_expand(rect_min, rect_max, radii, depths)
+    keep = e.keep_idx
+    rec_kernel = packed[:, list(staging_mod._PERM)].astype(jnp.float32)
+    n = packed.shape[0]
+    tbl = jnp.concatenate(
+        [
+            jnp.stack([
+                e.tmin_x[keep].astype(jnp.float32),
+                e.tmin_y[keep].astype(jnp.float32),
+                e.rw[keep].astype(jnp.float32),
+                e.block_start[keep].astype(jnp.float32),
+                depths.astype(jnp.float32)[keep],
+                keep.astype(jnp.float32),
+            ], axis=0),
+            rec_kernel[keep].T,
+            jnp.zeros((merge_pallas.TBL_ROWS - 17, n), jnp.float32),
+        ],
+        axis=0,
+    )
+
+    @jax.jit
+    def f_merge(cum, tbl):
+        return merge_pallas.merge_gather(cum, tbl, st.max_pairs)
+
+    g = f_merge(e.cum_keep, tbl)
+    pp = jnp.arange(st.max_pairs, dtype=jnp.int32)
+    valid = pp < e.num_pairs
+    tiles = binning_mod.enumerate_tiles(
+        g[3].astype(jnp.int32), jnp.maximum(g[2].astype(jnp.int32), 1),
+        g[0].astype(jnp.int32), g[1].astype(jnp.int32), grid_w,
+    )
+    tile_ids = jnp.where(valid, tiles, num_tiles)
+    depth_keys = jnp.where(valid, g[4], jnp.inf)
+    gid = jnp.where(valid, g[5].astype(jnp.int32), 0)
+
+    @jax.jit
+    def f_enumerate(g, num_pairs):
+        v = pp < num_pairs
+        t = binning_mod.enumerate_tiles(
+            g[3].astype(jnp.int32), jnp.maximum(g[2].astype(jnp.int32), 1),
+            g[0].astype(jnp.int32), g[1].astype(jnp.int32), grid_w,
+        )
+        return (jnp.where(v, t, num_tiles), jnp.where(v, g[4], jnp.inf),
+                jnp.where(v, g[5].astype(jnp.int32), 0))
+
+    @jax.jit
+    def f_sort(tile_ids, depth_keys, g, gid):
+        return jax.lax.sort(
+            (tile_ids, depth_keys) + tuple(g[6 + i] for i in range(11)) + (gid,),
+            num_keys=2, is_stable=True,
+        )
+
+    sorted_cols = f_sort(tile_ids, depth_keys, g, gid)
+
+    @jax.jit
+    def f_ranges(sorted_tile):
+        ti = jnp.arange(num_tiles, dtype=jnp.int32)
+        s = jnp.searchsorted(sorted_tile, ti, side="left").astype(jnp.int32)
+        t = jnp.searchsorted(sorted_tile, ti, side="right").astype(jnp.int32)
+        return s, t - s
+
+    tile_start, tile_count = f_ranges(sorted_cols[0])
+    num_aligned = staging_mod._num_aligned(st)
+
+    @jax.jit
+    def f_relayout(sorted_cols, tile_start, tile_count):
+        aligned_start, owner, rank0 = rp.aligned_chunk_plan(
+            tile_start, tile_count, num_tiles, st.chunk, num_aligned
+        )
+        sorted_cm = jnp.stack(
+            list(sorted_cols[2:13])
+            + [jax.lax.bitcast_convert_type(sorted_cols[13], jnp.float32)]
+            + [jnp.zeros((st.max_pairs,), jnp.float32)] * (rp.REC_DIM - 12),
+            axis=0,
+        )
+        return staging_mod._relayout_pallas(
+            st, sorted_cm, tile_start, tile_count, owner, rank0
+        )
+
+    records_cm = f_relayout(sorted_cols, tile_start, tile_count)
+    # Timing stand-in: padding rows attribute to gaussian 0 — irrelevant for
+    # the segsum kernel's cost (same rows, same reduction structure).
+    gid_aligned = jax.lax.bitcast_convert_type(
+        records_cm[11], jnp.int32
+    ).astype(jnp.int32)
+
+    seg_chunk = rp.pick_seg_chunk(num_aligned, st.chunk)
+
+    @jax.jit
+    def f_segsum(g_cm, gid_aligned):
+        sstt = rp.SegsumStatic(
+            num_rec=n, num_aligned=num_aligned,
+            chunk=seg_chunk, block_b=128, interpret=False,
+        )
+        return rp._segment_reduce_pallas(sstt, g_cm, gid_aligned)
+
+    cot = records_cm * 1e-3  # stand-in cotangent buffer, same shape
+
+    print("--- fused staging fine breakdown ---", flush=True)
+    print(f"expand_pairs      {timeit(f_expand, rect_min, rect_max, radii, depths):8.2f} ms", flush=True)
+    print(f"table build+merge {timeit(f_merge, e.cum_keep, tbl):8.2f} ms", flush=True)
+    print(f"enumerate tiles   {timeit(f_enumerate, g, e.num_pairs):8.2f} ms", flush=True)
+    print(f"pair sort (14col) {timeit(f_sort, tile_ids, depth_keys, g, gid):8.2f} ms", flush=True)
+    print(f"tile ranges       {timeit(f_ranges, sorted_cols[0]):8.2f} ms", flush=True)
+    print(f"relayout kernel   {timeit(f_relayout, sorted_cols, tile_start, tile_count):8.2f} ms", flush=True)
+    print(f"grad segment-sum  {timeit(f_segsum, cot, gid_aligned):8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
