@@ -30,7 +30,7 @@ GSPLAT_BENCH_TILE=32 run bench_tile32 1500 python bench.py
 
 # 3. stage breakdown at the probed-snug budget
 run profile 2400 python scripts/profile_breakdown.py --size 800 \
-    --gaussians 100000 --max-pairs 1474560
+    --gaussians 100000 --max-pairs 1474560 --fine
 
 run report_early 600 python scripts/report_round4.py
 
