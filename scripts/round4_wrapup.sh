@@ -65,7 +65,7 @@ if [ "$SH4_BUDGET" -gt 1200 ]; then
         --grad-threshold 5e-5 --densify-until 20000 \
         --checkpoint-interval 2500 --out outputs/scale_sh4 \
         --opacity-reset-interval 3000 --prune-world-scale 2.0 \
-        --max-pairs-limit 16777216 \
+        --spatial-lr-scale auto --max-pairs-limit 16777216 \
         2>&1 | tee -a $LOG/scale_sh4.log
   echo "--- sh4 leg done rc=$? ($(date -u +%T)Z)" | tee -a $LOG/chain.log
 fi
