@@ -24,9 +24,11 @@ run() {  # run <name> <timeout_s> <cmd...>
 # 1. kernel parity on the real chip (cheap, catches regressions first)
 run tpu_check 1200 python scripts/tpu_check.py
 
-# 2. headline bench: snug probed budget; then the 32x32-tile A/B
+# 2. headline bench: snug probed budget; then the 32x32-tile and
+#    3-pass-matmul A/Bs (adopted only if they win AND tpu_check passes)
 run bench 1500 python bench.py
 GSPLAT_BENCH_TILE=32 run bench_tile32 1500 python bench.py
+GSPLAT_MM_PRECISION=high run bench_mmhigh 1500 python bench.py
 
 # 3. stage breakdown at the probed-snug budget
 run profile 2400 python scripts/profile_breakdown.py --size 800 \
