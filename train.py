@@ -51,6 +51,17 @@ def parse_args(argv=None):
     p.add_argument("--tile-parallel", type=int, default=None,
                    help="mesh 'tile' axis size: split each camera's pixel "
                         "rows into this many bands (exact seam handling)")
+    p.add_argument("--opacity-reset-interval", type=int, default=None,
+                   help="INRIA-style periodic opacity reset every N iters "
+                        "(0 = off, the reference behaviour); recommended "
+                        "3000 on large-extent / sky scenes")
+    p.add_argument("--prune-world-scale", type=float, default=None,
+                   help="prune gaussians larger than this many world units "
+                        "at densify time (0 = off; INRIA uses 0.1 x extent)")
+    p.add_argument("--spatial-lr-scale", default=None,
+                   help="position-LR scene scaling: a float, or 'auto' for "
+                        "1.1 x camera bounding-sphere radius (INRIA); "
+                        "default 1.0 = reference behaviour")
     p.add_argument("--multihost", action="store_true",
                    help="join a jax.distributed cluster (reads "
                         "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
@@ -90,6 +101,15 @@ def main(argv=None):
         par_cfg = dataclasses.replace(par_cfg, data_parallel=args.data_parallel)
     if args.tile_parallel is not None:
         par_cfg = dataclasses.replace(par_cfg, tile_parallel=args.tile_parallel)
+    densify_cfg = cfg.densify
+    if args.opacity_reset_interval is not None:
+        densify_cfg = dataclasses.replace(
+            densify_cfg, opacity_reset_interval=args.opacity_reset_interval
+        )
+    if args.prune_world_scale is not None:
+        densify_cfg = dataclasses.replace(
+            densify_cfg, prune_world_scale=args.prune_world_scale
+        )
     cfg = dataclasses.replace(
         cfg,
         iterations=args.iterations,
@@ -100,6 +120,7 @@ def main(argv=None):
         output_dir=args.output,
         loss=loss_cfg,
         parallel=par_cfg,
+        densify=densify_cfg,
         model=dataclasses.replace(
             cfg.model, sh_degree=args.sh_degree, max_gaussians=args.max_gaussians
         ),
@@ -130,6 +151,23 @@ def main(argv=None):
         pcd, centroid = pcd.centering()
         data = data.shift_cameras(centroid)
         print(f"centered point cloud (centroid {centroid.round(3).tolist()})")
+
+    if args.spatial_lr_scale is not None:
+        import numpy as np
+
+        if args.spatial_lr_scale == "auto":
+            centers = np.stack(
+                [np.asarray(c.tensors()["camera_center"]) for c in data.cameras]
+            )
+            scale = float(
+                1.1 * np.linalg.norm(centers - centers.mean(0), axis=1).max()
+            )
+            print(f"spatial_lr_scale auto: {scale:.3f}", flush=True)
+        else:
+            scale = float(args.spatial_lr_scale)
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim, spatial_lr_scale=scale)
+        )
 
     print(
         f"{data.num_views} views {data.width}x{data.height}, "
