@@ -230,6 +230,14 @@ def _relayout_kernel(src128_ref, shift_ref, nvalid_ref, sorted_hbm, out_ref,
         )
 
 
+# Per-call chunk-plan cap: the plan rides scalar prefetch (SMEM, ~1 MB on
+# v5e).  3 int32 arrays x 32768 chunks = 384 KB leaves headroom; beyond it
+# the relayout is issued as several pallas_calls over chunk segments (same
+# kernel, same total DMA) — a single call at a 16.8M-pair budget needs a
+# 133k-chunk plan = 1.6 MB and dies with a permanent smem-OOM compile error.
+_RELAYOUT_SEG_CHUNKS = 32768
+
+
 def _relayout_pallas(st: StagingStatic, sorted_cm, tile_start, tile_count,
                      owner, rank0):
     """sorted_cm [REC_DIM, max_pairs] -> aligned records [REC_DIM,
@@ -238,10 +246,6 @@ def _relayout_pallas(st: StagingStatic, sorted_cm, tile_start, tile_count,
     K2 = ((C + 127) // 128 + 1) * 128  # window: C lanes + up-to-127 shift
     num_aligned = _num_aligned(st)
     nchunks = num_aligned // C
-    sub = 8
-    while nchunks % sub:
-        sub //= 2
-    ng = nchunks // sub
 
     src0 = tile_start[owner] + rank0
     nvalid = jnp.clip(tile_count[owner] - rank0, 0, C)
@@ -253,23 +257,40 @@ def _relayout_pallas(st: StagingStatic, sorted_cm, tile_start, tile_count,
         [sorted_cm, jnp.zeros((rp.REC_DIM, K2), jnp.float32)], axis=1
     )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(ng,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((rp.REC_DIM, sub * C), lambda g, *_: (0, g),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2 * sub, rp.REC_DIM, K2), jnp.float32),
-            pltpu.SemaphoreType.DMA((2 * sub,)),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(_relayout_kernel, C=C, K2=K2, SUB=sub, ng=ng),
-        out_shape=jax.ShapeDtypeStruct((rp.REC_DIM, num_aligned), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=st.interpret,
-    )(src128, shift, nvalid, sorted_pad)
+    def call(src128_s, shift_s, nvalid_s, seg_chunks):
+        sub = 8
+        while seg_chunks % sub:
+            sub //= 2
+        ng = seg_chunks // sub
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(ng,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec((rp.REC_DIM, sub * C), lambda g, *_: (0, g),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2 * sub, rp.REC_DIM, K2), jnp.float32),
+                pltpu.SemaphoreType.DMA((2 * sub,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_relayout_kernel, C=C, K2=K2, SUB=sub, ng=ng),
+            out_shape=jax.ShapeDtypeStruct(
+                (rp.REC_DIM, seg_chunks * C), jnp.float32
+            ),
+            grid_spec=grid_spec,
+            interpret=st.interpret,
+        )(src128_s, shift_s, nvalid_s, sorted_pad)
+
+    if nchunks <= _RELAYOUT_SEG_CHUNKS:
+        return call(src128, shift, nvalid, nchunks)
+    outs = []
+    for s0 in range(0, nchunks, _RELAYOUT_SEG_CHUNKS):
+        s1 = min(s0 + _RELAYOUT_SEG_CHUNKS, nchunks)
+        outs.append(
+            call(src128[s0:s1], shift[s0:s1], nvalid[s0:s1], s1 - s0)
+        )
+    return jnp.concatenate(outs, axis=1)
 
 
 def _use_relayout_kernel(st: StagingStatic) -> bool:

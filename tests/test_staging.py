@@ -388,3 +388,23 @@ def test_fused_render_tile32_matches_split():
     np.testing.assert_array_equal(fused, split)
     oracle = run("reference", "split")
     np.testing.assert_allclose(fused, oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_relayout_segmented_matches_single_call(monkeypatch):
+    """Above _RELAYOUT_SEG_CHUNKS the relayout is issued as several
+    pallas_calls over chunk segments (the per-chunk plan rides SMEM, which
+    overflows at very large pair budgets — observed as a permanent compile
+    error at a 16.8M-pair budget on v5e).  Segmented output must be
+    bit-identical to the single-call path."""
+    params, cam = scene(seed=11)
+    p, packed = _geometry(params, cam)
+    st, staged_one = _staged(packed, p.rect_min, p.rect_max, p.radii, p.depths)
+    assert staging._use_relayout_kernel(st)
+    nchunks = staging._num_aligned(st) // st.chunk
+    monkeypatch.setattr(staging, "_RELAYOUT_SEG_CHUNKS", max(nchunks // 3, 1))
+    staged_seg, gid_seg = staging._stage_impl(
+        st, packed, p.rect_min, p.rect_max, p.radii, p.depths
+    )
+    np.testing.assert_array_equal(
+        np.asarray(staged_one.records_cm), np.asarray(staged_seg.records_cm)
+    )
