@@ -490,6 +490,7 @@ class Trainer:
                 file=sys.stderr, flush=True,
             )
             self.cfg = dataclasses.replace(self.cfg, raster=new)
+            self._touch_heartbeat()
             self._build_train_step()
         else:
             print(
@@ -542,9 +543,22 @@ class Trainer:
         self.cfg = dataclasses.replace(
             self.cfg, raster=dataclasses.replace(r, max_pairs=snug)
         )
+        self._touch_heartbeat()
         self._build_train_step()
         self._pairs_peak = 0.0
         self._pairs_obs = 0
+
+    def _touch_heartbeat(self):
+        """Refresh the supervisor heartbeat (metrics.jsonl mtime) before a
+        long XLA recompile: budget/capacity growth rebuilds the train step,
+        and a 5+ minute compile with a stale heartbeat reads as a stall to
+        scripts/supervise_train.py — which would kill and restart into the
+        SAME compile, looping until max_restarts."""
+        if self.cfg.output_dir and self.is_writer:
+            try:
+                (self.out_dir / "metrics.jsonl").touch()
+            except OSError:
+                pass
 
     def next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -635,6 +649,7 @@ class Trainer:
         n = int(self.state.num_active)
         if n > 0.85 * cap and cap < self.cfg.model.max_gaussians:
             new_cap = min(cap * 2, _next_pow2(self.cfg.model.max_gaussians))
+            self._touch_heartbeat()
             self.state = grow_capacity(self.state, new_cap)
             if self.mesh is not None:
                 self.state = self._sharding.replicate_state(self.state, self.mesh)
@@ -728,6 +743,7 @@ class Trainer:
                     self.cfg,
                     raster=dataclasses.replace(r, max_pairs=cr.max_pairs),
                 )
+                self._touch_heartbeat()
                 self._build_train_step()
         if self.mesh is not None:
             self.state = self._sharding.replicate_state(self.state, self.mesh)

@@ -493,3 +493,34 @@ def test_spatial_lr_scale_scales_position_updates(scene):
     assert np.abs(ddc0).max() > 0  # colors still train
     dxyz2, _ = run_one(2.0)
     assert np.abs(dxyz2).max() > 0
+
+
+def test_heartbeat_touched_before_recompile(scene, tmp_path):
+    """Budget growth rebuilds (recompiles) the train step; the trainer must
+    refresh the supervisor heartbeat first or a 5+ minute compile reads as a
+    stall and supervise_train.py kills it into a restart loop."""
+    import os
+    import time
+
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    pc = PointCloud(coords=pts, colors=cols * 255.0)
+    cfg = TrainConfig(
+        iterations=2, init_points=len(pts), log_interval=2,
+        snapshot_interval=10**9, checkpoint_interval=0,
+        output_dir=str(tmp_path),
+        model=ModelConfig(sh_degree=0, initial_capacity=64),
+        raster=dataclasses.replace(RASTER, max_pairs=512, auto_grow=True),
+        densify=DensifyConfig(from_iter=10**9),
+    )
+    trainer = Trainer(cfg, data, pc, backend="reference")
+    hb = tmp_path / "metrics.jsonl"
+    hb.touch()
+    old = time.time() - 1000
+    os.utime(hb, (old, old))
+    trainer._maybe_grow_raster(
+        {"overflow_pairs_acc": 100.0, "overflow_pairs": 100.0,
+         "num_pairs": 512.0}
+    )
+    assert trainer.cfg.raster.max_pairs > 512  # growth happened
+    assert hb.stat().st_mtime > old + 500  # heartbeat refreshed first
