@@ -54,9 +54,11 @@ fi
 
 run report_mid 600 python scripts/report_round4.py
 
-# 5. SH4 scale campaign (self-fit procedural scene, >100k gaussians target;
-#    healthy dynamics).  Deadline-bounded; checkpoints every 2500 make any
-#    cutoff resumable next round.
+# 5. SH4 scale campaign on the SAME independent imagery (aggressive densify
+#    toward >100k gaussians; SH degree 4 like the reference's default).
+#    Deadline-bounded; checkpoints every 2500 make any cutoff resumable
+#    next round.  Tighter world-scale prune (1.5) keeps the exact pair
+#    demand under the 2^24 fused-kernel budget ceiling at scale.
 SH4_BUDGET=$(( $(left) - 1500 ))
 if [ "$SH4_BUDGET" -gt 1200 ]; then
   echo "--- sh4: budget ${SH4_BUDGET}s ($(date -u +%T)Z)" | tee -a $LOG/chain.log
@@ -64,10 +66,12 @@ if [ "$SH4_BUDGET" -gt 1200 ]; then
     python scripts/supervise_train.py --stall-timeout 900 --max-restarts 12 \
       --out outputs/scale_sh4 -- \
       python scripts/train_flagship_tpu.py --iters 30000 --sh-degree 4 \
-        --grad-threshold 5e-5 --densify-until 20000 \
+        --dataset-root outputs/vendor_scene_800 --holdout 4 \
+        --grad-threshold 1e-4 --densify-until 20000 \
         --checkpoint-interval 2500 --out outputs/scale_sh4 \
-        --opacity-reset-interval 3000 --prune-world-scale 2.0 \
-        --spatial-lr-scale auto --max-pairs-limit 16777216 \
+        --opacity-reset-interval 3000 --prune-world-scale 1.5 \
+        --spatial-lr-scale auto --max-pairs 8388608 \
+        --max-pairs-limit 16777216 \
         2>&1 | tee -a $LOG/scale_sh4.log
   echo "--- sh4 leg done rc=$? ($(date -u +%T)Z)" | tee -a $LOG/chain.log
 fi
