@@ -103,7 +103,7 @@ def main():
     def scale_row():
         s = json.loads((REPO / "outputs/scale_sh4/summary.json").read_text())
         lines.append(
-            f"| SH4 scale campaign | PSNR {s.get('final_psnr'):.2f} "
+            f"| SH4 scale campaign (independent imagery) | PSNR {s.get('final_psnr'):.2f} "
             f"at iter {s['workload'].get('iterations')} | gaussians "
             f"{s.get('num_gaussians_final')} (peak "
             f"{s.get('num_gaussians_peak')}) | "
