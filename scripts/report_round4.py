@@ -102,12 +102,15 @@ def main():
 
     def scale_row():
         s = json.loads((REPO / "outputs/scale_sh4/summary.json").read_text())
+        h = s.get("holdout", {})
+        held = (f"held-out PSNR {h.get('psnr_mean'):.2f}"
+                if h.get("psnr_mean") is not None else "")
         lines.append(
             f"| SH4 scale campaign (independent imagery) | PSNR {s.get('final_psnr'):.2f} "
             f"at iter {s['workload'].get('iterations')} | gaussians "
             f"{s.get('num_gaussians_final')} (peak "
             f"{s.get('num_gaussians_peak')}) | "
-            f"{s.get('sustained_it_per_s', 0) or 0:.2f} it/s | |"
+            f"{s.get('sustained_it_per_s', 0) or 0:.2f} it/s | {held} |"
         )
 
     if (REPO / "outputs/scale_sh4/summary.json").exists():
