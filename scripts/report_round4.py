@@ -56,14 +56,19 @@ def main():
                          f"{b.get('num_pairs')} budget {b.get('max_pairs')} "
                          f"| {b.get('skipped', '')} |")
 
-    fps_log = REPO / "outputs/round4/renderfps_vendor.log"
-    if fps_log.exists():
-        m = re.search(r"([\d.]+) frames/s \(([\d.]+) ms/frame\)",
-                      fps_log.read_text())
-        if m:
-            lines.append(f"| inference (render_cli --bench-frames, 800x800, "
-                         f"flagship_vendor model) | {m.group(1)} fps "
-                         f"({m.group(2)} ms/frame) | round-2: 11.6 fps | | |")
+    for name, label in (
+        ("renderfps_small.log",
+         "inference, ~28k-gaussian model (like-for-like vs round-2 11.6 fps)"),
+        ("renderfps_vendor.log", "inference, full flagship_vendor model"),
+    ):
+        fps_log = REPO / "outputs/round4" / name
+        if fps_log.exists():
+            m = re.search(r"([\d.]+) frames/s \(([\d.]+) ms/frame\)",
+                          fps_log.read_text())
+            if m:
+                lines.append(f"| {label} (render_cli --bench-frames, 800x800)"
+                             f" | {m.group(1)} fps ({m.group(2)} ms/frame) | "
+                             f"round-2: 11.6 fps | | |")
 
     def flagship_row():
         s = json.loads((REPO / "outputs/flagship_vendor/summary.json")

@@ -36,6 +36,16 @@ run profile 2400 python scripts/profile_breakdown.py --size 800 \
 
 run report_early 600 python scripts/report_round4.py
 
+# 4a. inference fps on a ~28k-gaussian model (ckpt_2000) — like-for-like
+#     with the round-2 11.6 fps measurement (25k-gaussian model)
+if [ -f outputs/flagship_vendor/ckpt_2000.npz ]; then
+  run ckpt2k_ply 600 python scripts/ckpt_to_ply.py \
+      outputs/flagship_vendor/ckpt_2000.npz -o /tmp/small_model.ply
+  run renderfps_small 2400 python render_cli.py \
+      --ply /tmp/small_model.ply --orbit 4 --out outputs/round4/renders_small \
+      --bench-frames 64 --white-background
+fi
+
 # 4. inference fps on the trained flagship_vendor model
 PLY=$(ls -t outputs/flagship_vendor/iteration_*.ply 2>/dev/null | head -1)
 if [ -n "$PLY" ]; then
