@@ -71,6 +71,19 @@ def split_and_prune(
     )
 
     prune = jnp.logical_and(active, op_val < min_opacity)
+    # Non-finite rows can never recover (their own VJP keeps them NaN, and
+    # NaN comparisons are all-False so neither the opacity prune nor the
+    # split/clone rules ever select them — they'd occupy capacity forever)
+    # and a NaN opacity makes op_val NaN, evading the prune above.  Cull
+    # them unconditionally; projection already z-culls them from rendering.
+    finite = jnp.logical_and(
+        jnp.isfinite(op_val),
+        jnp.logical_and(
+            jnp.all(jnp.isfinite(params.xyz), axis=1),
+            jnp.all(jnp.isfinite(params.scales), axis=1),
+        ),
+    )
+    prune = jnp.logical_or(prune, jnp.logical_and(active, ~finite))
     if prune_world_scale > 0:
         # INRIA-style big_points_ws prune (absent from the reference's
         # classify kernel): screen-filling gaussians blur the fit and

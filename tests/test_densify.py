@@ -173,3 +173,22 @@ def test_reset_opacity():
     assert float(out.opacity[6, 0]) == INACTIVE_OPACITY  # untouched
     assert np.allclose(np.asarray(out.opacity[4:6, 0]),
                        np.asarray(params.opacity[4:6, 0]))
+
+
+def test_prune_non_finite_rows():
+    """NaN-poisoned rows evade every NaN-comparison-based rule (all False)
+    and would occupy capacity forever; densify must cull them (observed: 128
+    NaN rows carried across 6k iterations of a round-4 campaign)."""
+    cap = 8
+    params = make_params(4, cap, opacity_logit=5.0)
+    params = params.__class__(
+        **{**params.__dict__,
+           "xyz": params.xyz.at[1].set(jnp.nan),
+           "opacity": params.opacity.at[2, 0].set(jnp.nan)}
+    )
+    newp, stats, _, _ = run(params, 4, np.zeros(cap))
+    assert int(stats.n_prune) == 2
+    assert int(stats.num_active) == 2
+    n = int(stats.num_active)
+    assert np.isfinite(np.asarray(newp.xyz[:n])).all()
+    assert np.isfinite(np.asarray(newp.opacity[:n])).all()
