@@ -125,7 +125,8 @@ def child(progress_path: str):
             return jnp.sum(jnp.where(p.radii > 0, foot, 0))
 
         demand = int(pair_demand(params.as_tuple()))
-        quantum = 512 * ((chunk + 511) // 512)  # merge BLOCK x chunk alignment
+        import math
+        quantum = 512 * chunk // math.gcd(512, chunk)  # lcm(merge BLOCK, chunk)
         max_pairs = -(-int(demand * 1.03) // quantum) * quantum
     mark("probed")
 

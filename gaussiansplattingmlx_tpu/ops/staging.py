@@ -232,9 +232,12 @@ def _relayout_kernel(src128_ref, shift_ref, nvalid_ref, sorted_hbm, out_ref,
 
 # Per-call chunk-plan cap: the plan rides scalar prefetch (SMEM, ~1 MB on
 # v5e).  3 int32 arrays x 32768 chunks = 384 KB leaves headroom; beyond it
-# the relayout is issued as several pallas_calls over chunk segments (same
-# kernel, same total DMA) — a single call at a 16.8M-pair budget needs a
-# 133k-chunk plan = 1.6 MB and dies with a permanent smem-OOM compile error.
+# the relayout is issued as several pallas_calls over chunk segments — a
+# single call at a 16.8M-pair budget needs a 133k-chunk plan = 1.6 MB and
+# dies with a permanent smem-OOM compile error.  The jnp.concatenate of the
+# segment outputs costs one extra HBM copy of the aligned buffer at those
+# (rare, >8.4M-budget) sizes; acceptable until a multi-output aliasing form
+# is worth the complexity.
 _RELAYOUT_SEG_CHUNKS = 32768
 
 

@@ -76,12 +76,13 @@ def split_and_prune(
     # split/clone rules ever select them — they'd occupy capacity forever)
     # and a NaN opacity makes op_val NaN, evading the prune above.  Cull
     # them unconditionally; projection already z-culls them from rendering.
-    finite = jnp.logical_and(
-        jnp.isfinite(op_val),
-        jnp.logical_and(
-            jnp.all(jnp.isfinite(params.xyz), axis=1),
-            jnp.all(jnp.isfinite(params.scales), axis=1),
-        ),
+    finite = (
+        jnp.isfinite(op_val)
+        & jnp.all(jnp.isfinite(params.xyz), axis=1)
+        & jnp.all(jnp.isfinite(params.scales), axis=1)
+        & jnp.all(jnp.isfinite(params.rotation), axis=1)
+        & jnp.all(jnp.isfinite(params.features_dc), axis=(1, 2))
+        & jnp.all(jnp.isfinite(params.features_rest), axis=(1, 2))
     )
     prune = jnp.logical_or(prune, jnp.logical_and(active, ~finite))
     if prune_world_scale > 0:

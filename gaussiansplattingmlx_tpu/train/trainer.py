@@ -353,11 +353,11 @@ class Trainer:
                 self.views = _sharding.replicate_views(stack_views(data), mesh)
         else:
             self.views = stack_views(data)
+        self.out_dir = Path(config.output_dir)
         self._build_train_step()
         self.densify_step = make_densify_step(config)
         self.opacity_reset_step = make_opacity_reset_step(config)
         self.history: list = []
-        self.out_dir = Path(config.output_dir)
         # Accumulated overflow already warned about / grown for (host mirror
         # of TrainState.overflow_acc[0] at the last handling point).
         self._overflow_handled = 0.0
@@ -369,6 +369,10 @@ class Trainer:
         self._pairs_obs = 0
 
     def _build_train_step(self):
+        # Rebuilding the step means the next call recompiles (minutes at
+        # flagship scale): refresh the supervisor heartbeat first so the
+        # compile window cannot read as a stall, regardless of caller.
+        self._touch_heartbeat()
         cfg, data = self.cfg, self.data
         if self.mesh is not None:
             self.train_step = self._sharding.make_dp_train_step(
@@ -490,7 +494,6 @@ class Trainer:
                 file=sys.stderr, flush=True,
             )
             self.cfg = dataclasses.replace(self.cfg, raster=new)
-            self._touch_heartbeat()
             self._build_train_step()
         else:
             print(
@@ -543,7 +546,6 @@ class Trainer:
         self.cfg = dataclasses.replace(
             self.cfg, raster=dataclasses.replace(r, max_pairs=snug)
         )
-        self._touch_heartbeat()
         self._build_train_step()
         self._pairs_peak = 0.0
         self._pairs_obs = 0
@@ -743,7 +745,6 @@ class Trainer:
                     self.cfg,
                     raster=dataclasses.replace(r, max_pairs=cr.max_pairs),
                 )
-                self._touch_heartbeat()
                 self._build_train_step()
         if self.mesh is not None:
             self.state = self._sharding.replicate_state(self.state, self.mesh)

@@ -144,3 +144,17 @@ def opengl_to_opencv_c2w(c2w: np.ndarray) -> np.ndarray:
     w2c = np.linalg.inv(c2w)
     w2c[1:3, :] *= -1.0
     return np.linalg.inv(w2c)
+
+
+def spatial_lr_scale_auto(cameras) -> float:
+    """INRIA-style position-LR scene scaling: 1.1 x the radius of the camera
+    bounding sphere (max distance of any camera center from their centroid).
+    Feed into OptimizerConfig.spatial_lr_scale; see config.py."""
+    import numpy as np
+
+    centers = np.stack(
+        [np.asarray(c.tensors()["camera_center"]) for c in cameras]
+    )
+    return float(
+        1.1 * np.linalg.norm(centers - centers.mean(0), axis=1).max()
+    )

@@ -47,6 +47,7 @@ def main():
     for name, label in (
         ("bench.log", "headline bench (free chip)"),
         ("bench_tile32.log", "headline bench (32x32 tiles A/B)"),
+        ("bench_mmhigh.log", "headline bench (3-pass matmul A/B)"),
         ("bench_final.log", "headline bench (final)"),
     ):
         b = read_json_line(REPO / "outputs/round4" / name)

@@ -83,7 +83,7 @@ if [ "$SH4_BUDGET" -gt 1200 ]; then
         --spatial-lr-scale auto --max-pairs 8388608 \
         --max-pairs-limit 16777216 \
         2>&1 | tee -a $LOG/scale_sh4.log
-  echo "--- sh4 leg done rc=$? ($(date -u +%T)Z)" | tee -a $LOG/chain.log
+  echo "--- sh4 leg done rc=${PIPESTATUS[0]} ($(date -u +%T)Z)" | tee -a $LOG/chain.log
 fi
 
 # 6. final bench + report + persist

@@ -309,12 +309,9 @@ def run_campaign(args, cams, images, pcd, W, H, out_dir,
     white_background = not args.dataset_root  # ray-traced scenes have a sky
 
     if args.spatial_lr_scale == "auto":
-        centers = np.stack(
-            [np.asarray(c.tensors()["camera_center"]) for c in cams]
-        )
-        spatial_lr_scale = float(
-            1.1 * np.linalg.norm(centers - centers.mean(0), axis=1).max()
-        )
+        from gaussiansplattingmlx_tpu.utils.camera import spatial_lr_scale_auto
+
+        spatial_lr_scale = spatial_lr_scale_auto(cams)
         print(f"spatial_lr_scale auto: {spatial_lr_scale:.3f}", flush=True)
     else:
         spatial_lr_scale = float(args.spatial_lr_scale)

@@ -153,15 +153,12 @@ def main(argv=None):
         print(f"centered point cloud (centroid {centroid.round(3).tolist()})")
 
     if args.spatial_lr_scale is not None:
-        import numpy as np
-
         if args.spatial_lr_scale == "auto":
-            centers = np.stack(
-                [np.asarray(c.tensors()["camera_center"]) for c in data.cameras]
+            from gaussiansplattingmlx_tpu.utils.camera import (
+                spatial_lr_scale_auto,
             )
-            scale = float(
-                1.1 * np.linalg.norm(centers - centers.mean(0), axis=1).max()
-            )
+
+            scale = spatial_lr_scale_auto(data.cameras)
             print(f"spatial_lr_scale auto: {scale:.3f}", flush=True)
         else:
             scale = float(args.spatial_lr_scale)
