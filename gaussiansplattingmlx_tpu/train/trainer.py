@@ -357,6 +357,23 @@ class Trainer:
         self._build_train_step()
         self.densify_step = make_densify_step(config)
         self.opacity_reset_step = make_opacity_reset_step(config)
+        if (
+            config.densify.opacity_reset_interval > 0
+            and config.densify.reset_optimizer_state
+        ):
+            import sys
+
+            # Measured failure mode (docs/DESIGN.md round-4 postscript): the
+            # reference's per-densify Adam re-init acts like sign-SGD right
+            # after every densify; combined with an opacity reset the model
+            # random-walks at full LR and can diverge permanently.
+            print(
+                "WARNING: opacity_reset_interval with "
+                "reset_optimizer_state=True (reference Adam semantics) can "
+                "diverge at scale — prefer reset_optimizer_state=False "
+                "(INRIA moment carry-over) when using opacity resets",
+                file=sys.stderr, flush=True,
+            )
         self.history: list = []
         # Accumulated overflow already warned about / grown for (host mirror
         # of TrainState.overflow_acc[0] at the last handling point).
