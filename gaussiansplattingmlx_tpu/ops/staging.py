@@ -191,8 +191,10 @@ def _sorted_pairs(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
 # the chunk's within-tile rank).  A per-index row gather costs ~6.5 ns/index
 # (~13-14 ms at the 2M budget); a blocked copy kernel pays only the DMA — it
 # reads the floor-aligned window, lane-ROLLS by the misalignment (dynamic
-# shift, bit-preserving: gid bit patterns in row 11 survive), masks the tail
-# past tile_count to exact zeros, and writes the aligned chunk.
+# shift), masks the tail past tile_count to exact zeros, and writes the
+# aligned chunk.  Row 11 carries the gaussian id as an exact f32 VALUE —
+# never as bitcast int bits: those are denormals, and the TPU lowering
+# flushed them to zero at segmented grid sizes (see _stage_impl).
 
 
 def _relayout_kernel(src128_ref, shift_ref, nvalid_ref, sorted_hbm, out_ref,
@@ -308,6 +310,9 @@ def _use_relayout_kernel(st: StagingStatic) -> bool:
 
 
 def _stage_impl(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
+    # Row 11 of the record buffer carries the gaussian id as an f32 VALUE;
+    # exactness requires ids < 2^24 (max_gaussians tops out at 2^20).
+    assert st.num_rec < 2 ** 24, "gid f32-value carriage needs num_rec < 2^24"
     grid_w = -(-st.image_width // st.tile_w)
     grid_h = -(-st.image_height // st.tile_h)
     num_tiles = grid_w * grid_h
@@ -330,10 +335,15 @@ def _stage_impl(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
 
     if _use_relayout_kernel(st):
         # Sorted pair table [16, max_pairs] column-major: 11 record
-        # components, gid bits in row 11 (the kernels never read past 10).
+        # components, the gaussian id in row 11 as an exact f32 VALUE
+        # (<= 2^24, same gate as the merge table; the kernels never read
+        # past row 10).  NOT a bitcast: small-int bit patterns are f32
+        # DENORMALS, and on real TPU the relayout lowering flushed them to
+        # zero at large (segmented) grids — every gradient then attributed
+        # to gaussian 0 and training silently froze (round-4 campaign).
         sorted_cm = jnp.stack(
             list(sorted_cols[2:13])
-            + [jax.lax.bitcast_convert_type(sorted_cols[13], jnp.float32)]
+            + [sorted_cols[13].astype(jnp.float32)]
             + [jnp.zeros((st.max_pairs,), jnp.float32)] * (rp.REC_DIM - 12),
             axis=0,
         )
@@ -341,14 +351,12 @@ def _stage_impl(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
             st, sorted_cm, tile_start, tile_count, owner, rank0
         )
         gid_aligned = jnp.where(
-            within,
-            jax.lax.bitcast_convert_type(records_cm[11], jnp.int32),
-            st.num_rec,
+            within, records_cm[11].astype(jnp.int32), st.num_rec
         ).astype(jnp.int32)
     else:
         sorted_table = jnp.stack(
             list(sorted_cols[2:13])
-            + [jax.lax.bitcast_convert_type(sorted_cols[13], jnp.float32)]
+            + [sorted_cols[13].astype(jnp.float32)]  # exact value, no bitcast
             + [jnp.zeros((st.max_pairs,), jnp.float32)] * (rp.REC_DIM - 12),
             axis=1,
         )
@@ -361,9 +369,7 @@ def _stage_impl(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
         # the gradient (0 * NaN would).
         aligned = jnp.where(within[:, None], aligned, 0.0)
         gid_aligned = jnp.where(
-            within,
-            jax.lax.bitcast_convert_type(aligned[:, 11], jnp.int32),
-            st.num_rec,
+            within, aligned[:, 11].astype(jnp.int32), st.num_rec
         ).astype(jnp.int32)
         records_cm = aligned.T
 
