@@ -363,15 +363,18 @@ class Trainer:
         ):
             import sys
 
-            # Measured failure mode (docs/DESIGN.md round-4 postscript): the
-            # reference's per-densify Adam re-init acts like sign-SGD right
-            # after every densify; combined with an opacity reset the model
-            # random-walks at full LR and can diverge permanently.
+            # Precaution (docs/DESIGN.md round-4 postscript): the
+            # reference's per-densify Adam re-init (no bias correction)
+            # amplifies the first post-densify step ~3.16x lr; right after
+            # an opacity reset the gradients are small and noisy, so the
+            # amplified steps act on a fragile state.  INRIA pairs resets
+            # with moment carry-over instead.
             print(
-                "WARNING: opacity_reset_interval with "
-                "reset_optimizer_state=True (reference Adam semantics) can "
-                "diverge at scale — prefer reset_optimizer_state=False "
-                "(INRIA moment carry-over) when using opacity resets",
+                "NOTE: opacity_reset_interval with "
+                "reset_optimizer_state=True (reference Adam semantics) "
+                "amplifies post-densify steps on a freshly-reset model — "
+                "INRIA pairs resets with moment carry-over "
+                "(reset_optimizer_state=False, implemented)",
                 file=sys.stderr, flush=True,
             )
         self.history: list = []
