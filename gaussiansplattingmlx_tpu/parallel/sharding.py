@@ -236,6 +236,15 @@ def make_dp_train_step(
             "overflow_gaussians": overflow_gaussians,
             "overflow_pairs_acc": overflow_acc[0],
             "overflow_gaussians_acc": overflow_acc[1],
+            # Gradient-attribution health (see the single-device step): the
+            # accumulated grad norms are already psum'd across the mesh.
+            "grad_coverage": jnp.sum(
+                jnp.where(
+                    jnp.arange(state.params.capacity) < state.num_active,
+                    ((state.grad_accum + grad_norm) > 0).astype(jnp.float32),
+                    0.0,
+                )
+            ) / jnp.maximum(state.num_active.astype(jnp.float32), 1.0),
         }
         # [1, H, W, 3] per data shard -> [data_parallel, H, W, 3] global.
         images = aux_out["image"][None]

@@ -165,6 +165,15 @@ def make_train_step(
             # overflow on any non-logged step still triggers auto-grow.
             "overflow_pairs_acc": overflow_acc[0],
             "overflow_gaussians_acc": overflow_acc[1],
+            # Gradient-attribution health: fraction of ACTIVE gaussians with
+            # any accumulated position gradient since the last densify.  The
+            # round-4 denormal-flush bug routed every gradient to gaussian 0
+            # (coverage ~0) while the forward stayed perfect — this metric
+            # makes that failure class visible at the next log line instead
+            # of after thousands of wasted iterations.
+            "grad_coverage": jnp.sum(
+                jnp.where(active, (grad_accum > 0).astype(jnp.float32), 0.0)
+            ) / jnp.maximum(state.num_active.astype(jnp.float32), 1.0),
         }
         # The rendered image rides along (already computed on device); the
         # host fetches it only at preview intervals — the counterpart of the
@@ -651,6 +660,19 @@ class Trainer:
             if it % cfg.log_interval == 0 or it == iterations:
                 m = {k: float(v) for k, v in metrics.items()}
                 self._maybe_grow_raster(m)
+                if (
+                    m.get("grad_coverage", 1.0) < 0.01
+                    and int(self.state.num_active) > 1000
+                ):
+                    import sys
+
+                    print(
+                        f"WARNING: grad_coverage "
+                        f"{m['grad_coverage']:.4f} at step {it} — almost no "
+                        "gaussians receive gradients; training is likely "
+                        "broken (see docs/DESIGN.md round-4 postscript)",
+                        file=sys.stderr, flush=True,
+                    )
                 now = time.time()
                 m["iters_per_s"] = (it - last_step) / max(now - last_log, 1e-9)
                 m["num_active"] = int(self.state.num_active)
