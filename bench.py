@@ -68,10 +68,13 @@ def child(progress_path: str):
     # slots are valid or not — render_cli.py auto-sizes viewer budgets the
     # same way.  GSPLAT_BENCH_PAIRS overrides the probe.
     # GSPLAT_BENCH_CHUNK sweeps the kernel inner-chunk size (default 128),
-    # GSPLAT_BENCH_TILE the tile edge (default 16) — A/B knobs for the real
-    # chip, no code edits.
+    # GSPLAT_BENCH_TILE the tile edge — A/B knobs for the real chip, no code
+    # edits.  Tile default 32: the round-4 on-chip A/B measured 8.87 Mpix/s
+    # at 32x32 tiles vs 7.09 at 16x16 (2.6x fewer pairs at 4x pixels per
+    # pair — staging scales with pairs and wins); compiled-Mosaic parity at
+    # 32x32 is what scripts/tpu_check.py asserts.
     chunk = int(os.environ.get("GSPLAT_BENCH_CHUNK", 128))
-    tile = int(os.environ.get("GSPLAT_BENCH_TILE", 16))
+    tile = int(os.environ.get("GSPLAT_BENCH_TILE", 32))
 
     rng = np.random.default_rng(0)
     # Lego-like scene: points in a unit-ish volume, camera orbiting at r=4,
@@ -186,6 +189,7 @@ def child(progress_path: str):
                 # (must be 0), and the per-tile depth distribution.
                 "num_pairs": round(num_pairs),
                 "max_pairs": max_pairs,
+                "tile": tile,
                 "overflow_pairs": round(ovfl_pairs),
                 "tile_depth_mean": round(depth_mean, 1),
                 "tile_depth_max": round(depth_max),

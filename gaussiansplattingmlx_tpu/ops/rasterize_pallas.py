@@ -123,23 +123,11 @@ def _scan_prod(x, reverse: bool, exclusive: bool = False):
 
 def _mm(a, b, dims):
     """MXU contraction with full-f32 accumulation (default precision runs
-    bf16 passes that visibly corrupt color/gradients).
-
-    GSPLAT_MM_PRECISION=high is an A/B knob: 3-pass bf16 emulation instead
-    of HIGHEST's 6-pass — half the MXU work in the compositing scans at
-    ~2^-21 relative error (can flip include decisions for pixels sitting
-    exactly at the transmittance threshold; adopt only if the on-chip parity
-    check passes).  Default stays HIGHEST."""
-    import os
-
-    prec = (
-        jax.lax.Precision.HIGH
-        if os.environ.get("GSPLAT_MM_PRECISION") == "high"
-        else jax.lax.Precision.HIGHEST
-    )
+    bf16 passes that visibly corrupt color/gradients; a 3-pass HIGH A/B was
+    tried in round 4 and crashed in the Mosaic lowering — HIGHEST it is)."""
     return jax.lax.dot_general(
         a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
-        precision=prec,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -28,7 +28,6 @@ run tpu_check 1200 python scripts/tpu_check.py
 #    3-pass-matmul A/Bs (adopted only if they win AND tpu_check passes)
 run bench 1500 python bench.py
 GSPLAT_BENCH_TILE=32 run bench_tile32 1500 python bench.py
-GSPLAT_MM_PRECISION=high run bench_mmhigh 1500 python bench.py
 
 # 3. stage breakdown at the probed-snug budget
 run profile 2400 python scripts/profile_breakdown.py --size 800 \
