@@ -149,6 +149,23 @@ class DensifyConfig:
     # max(exp(scale)) exceeds this many world units — INRIA's big_points_ws
     # prune (0.1 * scene extent).
     prune_world_scale: float = 0.0
+    # prune_near_cameras > 0: prune gaussians within this many world units of
+    # any training camera center.  Near-camera floaters memorize one view's
+    # appearance and haze every novel view (round-4 vendor campaign: holdout
+    # view 0 at 13.6 dB vs 35 dB train, +4.2 dB from this cull post-hoc).
+    prune_near_cameras: float = 0.0
+    # prune_needle_ratio > 0: prune gaussians whose max/mid scale ratio
+    # exceeds this (degenerate "needles" — white streak artifacts on novel
+    # views).  Flat disks (max/mid ~ 1) are unaffected.
+    prune_needle_ratio: float = 0.0
+    # prune_until_iter > 0: keep running PRUNE-ONLY maintenance rounds (every
+    # `interval` iterations) after densification ends at until_iter, up to
+    # this iteration.  Round 4 stopped all pruning at densify end and a
+    # 4.5-world-unit gaussian grew unchecked across the last 9k iterations,
+    # veiling an entire held-out view.  Prune-only rounds preserve Adam
+    # moments (exact gather remap — no new gaussians are created), so late
+    # convergence is unaffected.  0 = pruning stops with densification.
+    prune_until_iter: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

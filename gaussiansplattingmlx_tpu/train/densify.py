@@ -57,6 +57,9 @@ def split_and_prune(
     clone_noise_std: float = 0.01,
     max_gaussians: int = 1_000_000,
     prune_world_scale: float = 0.0,
+    prune_near_cameras: float = 0.0,
+    camera_centers: jax.Array | None = None,  # [V,3], required if above > 0
+    prune_needle_ratio: float = 0.0,
 ):
     cap = params.capacity
     slot = jnp.arange(cap, dtype=jnp.int32)
@@ -92,6 +95,28 @@ def split_and_prune(
         prune = jnp.logical_or(
             prune, jnp.logical_and(active, max_scale_val > prune_world_scale)
         )
+    if prune_near_cameras > 0:
+        # Floater kill: gaussians parked right in front of a training camera
+        # memorize that single view (sky haze / veils) and are invisible or
+        # wrong from every other pose — the dominant held-out failure mode of
+        # the round-4 vendor campaign (holdout view 0: +4.2 dB from this cull
+        # alone).  No reference counterpart (single-scene iOS app never
+        # evaluates novel views).  camera_centers are centering-shifted.
+        assert camera_centers is not None
+        d2 = jnp.sum(
+            (params.xyz[:, None, :] - camera_centers[None, :, :]) ** 2, axis=-1
+        )
+        near = jnp.min(d2, axis=1) < prune_near_cameras ** 2
+        prune = jnp.logical_or(prune, jnp.logical_and(active, near))
+    if prune_needle_ratio > 0:
+        # Needle kill: max/mid scale ratio.  Disks (flat surfaces: two large
+        # axes, one tiny) keep a max/mid near 1 and survive; needles (one
+        # long axis — the white streak artifacts on novel views) are pruned.
+        s_sorted = jnp.sort(jnp.exp(params.scales), axis=1)  # ascending
+        needle = s_sorted[:, 2] > prune_needle_ratio * jnp.maximum(
+            s_sorted[:, 1], 1e-12
+        )
+        prune = jnp.logical_or(prune, jnp.logical_and(active, needle))
     grow = jnp.logical_and(
         jnp.logical_and(active, jnp.logical_not(prune)),
         jnp.logical_and(allow, avg_grad > grad_threshold),

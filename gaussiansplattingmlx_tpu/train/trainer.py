@@ -184,12 +184,22 @@ def make_train_step(
     return train_step
 
 
-def make_densify_step(cfg: TrainConfig) -> Callable:
+def make_densify_step(
+    cfg: TrainConfig,
+    camera_centers=None,
+    allow_densify: bool = True,
+) -> Callable:
+    """allow_densify=False builds the PRUNE-ONLY maintenance variant
+    (DensifyConfig.prune_until_iter): no split/clone, and Adam moments are
+    always carried by exact gather remap (no new rows exist, so the remap is
+    lossless) regardless of reset_optimizer_state."""
+
     @partial(jax.jit, donate_argnums=(0,))
     def densify_step(state: TrainState, rng_key):
         new_params, stats, gather_idx, noise_mode = densify_mod.split_and_prune(
             state.params, state.num_active, state.grad_accum, state.grad_denom,
             rng_key,
+            allow_densify=allow_densify,
             grad_threshold=cfg.densify.grad_threshold,
             max_scale=cfg.densify.max_scale,
             min_opacity=cfg.densify.min_opacity,
@@ -198,8 +208,11 @@ def make_densify_step(cfg: TrainConfig) -> Callable:
             clone_noise_std=cfg.densify.clone_noise_std,
             max_gaussians=cfg.model.max_gaussians,
             prune_world_scale=cfg.densify.prune_world_scale,
+            prune_near_cameras=cfg.densify.prune_near_cameras,
+            camera_centers=camera_centers,
+            prune_needle_ratio=cfg.densify.prune_needle_ratio,
         )
-        if cfg.densify.reset_optimizer_state:
+        if cfg.densify.reset_optimizer_state and allow_densify:
             # Reference behaviour: fresh Adam after densify
             # (GaussianTrainer.swift:1105-1110).
             new_opt = adam.init(new_params)
@@ -364,7 +377,26 @@ class Trainer:
             self.views = stack_views(data)
         self.out_dir = Path(config.output_dir)
         self._build_train_step()
-        self.densify_step = make_densify_step(config)
+        cam_centers = None
+        if config.densify.prune_near_cameras > 0:
+            if jax.process_count() > 1:
+                # Per-process camera subsets would give each process a
+                # different prune mask and break the replicated-state
+                # bit-identity invariant (tests/test_multihost.py).
+                raise NotImplementedError(
+                    "prune_near_cameras requires the full camera set on "
+                    "every process; unsupported under multihost data loading"
+                )
+            cam_centers = jnp.stack([
+                jnp.asarray(c.tensors()["camera_center"]).reshape(3)
+                for c in data.cameras
+            ])
+        self.densify_step = make_densify_step(config, cam_centers)
+        self.prune_step = (
+            make_densify_step(config, cam_centers, allow_densify=False)
+            if config.densify.prune_until_iter > config.densify.until_iter
+            else None
+        )
         self.opacity_reset_step = make_opacity_reset_step(config)
         if (
             config.densify.opacity_reset_interval > 0
@@ -637,11 +669,14 @@ class Trainer:
             if it % cfg.snapshot_interval == 0 and cfg.output_dir:
                 self.save_snapshot(it)
 
-            if (
-                it % cfg.densify.interval == 0
-                and cfg.densify.from_iter <= it <= cfg.densify.until_iter
-            ):
-                self.state, stats = self.densify_step(self.state, self.next_key())
+            in_densify = cfg.densify.from_iter <= it <= cfg.densify.until_iter
+            in_prune_only = (
+                self.prune_step is not None
+                and cfg.densify.until_iter < it <= cfg.densify.prune_until_iter
+            )
+            if it % cfg.densify.interval == 0 and (in_densify or in_prune_only):
+                step_fn = self.densify_step if in_densify else self.prune_step
+                self.state, stats = step_fn(self.state, self.next_key())
                 if self.mesh is not None:
                     # Keep the state replicated across the mesh after the
                     # (unsharded) densify gather/scatter.

@@ -145,6 +145,17 @@ def main():
     ap.add_argument("--prune-world-scale", type=float, default=0.0,
                     help="prune gaussians larger than this many world units "
                          "at densify time (0 = off; INRIA uses 0.1 x extent)")
+    ap.add_argument("--prune-near-cameras", type=float, default=0.0,
+                    help="prune gaussians within this many world units of a "
+                         "training camera (0 = off).  Kills the per-view "
+                         "floaters that haze held-out views")
+    ap.add_argument("--prune-needle-ratio", type=float, default=0.0,
+                    help="prune gaussians with max/mid scale ratio above "
+                         "this (0 = off).  Kills streak artifacts; flat "
+                         "disks are unaffected")
+    ap.add_argument("--prune-until", type=int, default=0,
+                    help="keep running prune-only maintenance rounds after "
+                         "densify ends, until this iteration (0 = off)")
     ap.add_argument("--spatial-lr-scale", default="1.0",
                     help="position-LR scene scaling: a float, or 'auto' for "
                          "INRIA's 1.1 x camera bounding-sphere radius "
@@ -338,6 +349,9 @@ def run_campaign(args, cams, images, pcd, W, H, out_dir,
             grad_threshold=args.grad_threshold,
             opacity_reset_interval=args.opacity_reset_interval,
             prune_world_scale=args.prune_world_scale,
+            prune_near_cameras=args.prune_near_cameras,
+            prune_needle_ratio=args.prune_needle_ratio,
+            prune_until_iter=args.prune_until,
         ),
     )
     data = TrainData(cameras=cams, images=images)

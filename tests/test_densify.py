@@ -192,3 +192,48 @@ def test_prune_non_finite_rows():
     n = int(stats.num_active)
     assert np.isfinite(np.asarray(newp.xyz[:n])).all()
     assert np.isfinite(np.asarray(newp.opacity[:n])).all()
+
+
+def test_prune_near_cameras():
+    cap = 8
+    params = make_params(4, cap)
+    # camera at the position of gaussian 2 (xyz rows are arange*0.01)
+    cam = jnp.asarray(params.xyz[2:3])
+    newp, stats, _, _ = run(
+        params, 4, np.zeros(cap),
+        prune_near_cameras=0.02, camera_centers=cam,
+    )
+    # gaussians 1,2,3 are within 0.06 of row 2; row 0 is at distance 0.0six..
+    d = np.linalg.norm(np.asarray(params.xyz[:4]) - np.asarray(cam), axis=1)
+    expect_prune = int((d < 0.02).sum())
+    assert int(stats.n_prune) == expect_prune
+    assert int(stats.num_active) == 4 - expect_prune
+
+
+def test_prune_needle_ratio():
+    cap = 8
+    params = make_params(4, cap)
+    # gaussian 1 is a needle: one axis 10x the others; gaussian 2 is a disk:
+    # two large axes, one tiny (must survive a max/mid ratio prune).
+    scales = np.full((cap, 3), -3.0, np.float32)
+    scales[1] = [-3.0 + np.log(50.0), -3.0, -3.0]      # needle max/mid = 50
+    scales[2] = [0.0, 0.0, -6.0]                        # disk   max/mid = 1
+    import dataclasses
+    params = dataclasses.replace(params, scales=jnp.asarray(scales))
+    newp, stats, _, _ = run(
+        params, 4, np.zeros(cap), prune_needle_ratio=10.0,
+    )
+    assert int(stats.n_prune) == 1
+    assert int(stats.num_active) == 3
+
+
+def test_prune_only_variant_never_grows():
+    cap = 8
+    params = make_params(4, cap)
+    accum = np.zeros(cap)
+    accum[:4] = 1.0  # every gaussian far above grad threshold
+    newp, stats, _, _ = run(
+        params, 4, accum, allow_densify=False, grad_threshold=1e-9,
+    )
+    assert int(stats.n_split) == 0 and int(stats.n_clone) == 0
+    assert int(stats.num_active) == 4
