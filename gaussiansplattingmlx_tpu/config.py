@@ -75,6 +75,12 @@ class RasterizerConfig:
     # 3 indexed passes), "split" keeps the original binning + relayout
     # (4 indexed passes; also the parity oracle for the fused path).
     staging: str = "fused"
+    # Training-path record layout under "fused" staging: "sorted" feeds the
+    # kernels raw sorted-order records (no chunk-aligned relayout, no per-tile
+    # alignment padding; backward = boundary-carry kernel) — bit-identical
+    # gradients to "aligned", which keeps the round-3/4 relayout pipeline.
+    # Env override: GSPLAT_TRAIN_STAGING.  Inference always runs sorted.
+    train_staging: str = "sorted"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -59,6 +59,10 @@ from .rasterize_ref import RenderOutputs
 
 REC_DIM = 16
 OUT_CHANNELS = 6
+# Gradient rows with distinct content out of the backward kernels: rows 3
+# and 4 (conic off-diagonals) both receive d_cs, so row 4 is dropped from
+# the segment-reduce's gid sort and copied from row 3 after the reduction.
+RASTER_LIVE_ROWS = (0, 1, 2, 3, 5, 6, 7, 8, 9, 10)
 
 
 class RasterStatic(NamedTuple):
@@ -69,11 +73,15 @@ class RasterStatic(NamedTuple):
     tile_w: int
     grid_h: int
     grid_w: int
-    num_aligned: int  # total columns of the aligned record buffer
+    num_aligned: int  # total columns of the (aligned or sorted) record buffer
     alpha_clamp: float
     transmittance_eps: float
     undo_denom_floor: float
     interpret: bool
+    # True: records are in raw SORTED order (tile starts NOT chunk-aligned);
+    # the backward uses _bwd_kernel_sorted (zero-initialized gradient buffer +
+    # read-modify-write windows) instead of exclusive chunk ownership.
+    sorted_mode: bool = False
 
 
 def _scan_lanes(x, reverse: bool):
@@ -462,6 +470,156 @@ def _bwd_kernel(
         ).wait()
 
 
+def _bwd_kernel_sorted(
+    start_ref, count_ref, rec_hbm, cot_ref, zeros_hbm, grad_ref,
+    rec_vmem, grad_vmem, gr_vmem, sem, gsem, grsem, *, st: RasterStatic
+):
+    """Backward over SORTED-order records (tile starts NOT chunk-aligned).
+
+    The aligned kernel (_bwd_kernel) owns whole chunks exclusively; here a
+    128-lane window at a tile boundary is shared by two (or more, for tiny
+    tiles) consecutive tiles.  Resolution: the gradient buffer is ZERO-
+    INITIALIZED (input_output_aliases on a zeros array) and every window
+    write is a read-modify-write — the TPU grid is sequential, and each grid
+    step fully drains its write DMAs, so a later tile's read always sees the
+    earlier tile's completed boundary write (the "boundary carry" of
+    docs/DESIGN.md).  Non-owned lanes carry exact zeros through the add.
+    Values match the aligned path up to fp regrouping of the per-chunk
+    prefix products (chunk boundaries fall at different pair offsets); the
+    include sets and contributor counts are exact.  Dead windows (past the
+    early-exit replay) are simply never touched — the zero-init replaces
+    the aligned kernel's explicit dead-tail zero-fill.
+    Reference counterpart: the backward tile sweep reads the same packed list
+    the forward used (slang/gaussian_tile_global_kernels.slang:728-753).
+    """
+    del zeros_hbm  # aliased to grad_ref: same buffer, already zero-filled
+    C = st.chunk
+    tt = st.tile_h * st.tile_w
+    t = pl.program_id(0)
+    start = start_ref[t]
+    count = count_ref[t]
+    off = (start // C) * C
+    shift = start - off
+    count_w = shift + count
+    basis = _tile_basis(st)  # (TT, 6)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    ut_incl = jnp.where(li >= lj, 1.0, 0.0)
+
+    cot4 = cot_ref[0, :, 0:4]
+    cot_alpha = cot_ref[0, :, 4:5]
+    alpha_fwd = cot_ref[0, :, 5:6]
+    ncon = cot_ref[0, :, 6:7]
+    t_final = 1.0 - alpha_fwd
+    cot_t_fin = -cot_alpha
+    tfin_term = cot_t_fin * t_final
+
+    # Early-exit replay at window granularity: the last contributing pair
+    # sits at lane shift + max(ncon) - 1 from the window floor.
+    max_ncon = jnp.max(ncon).astype(jnp.int32)
+    live = jnp.where(
+        jnp.logical_and(count > 0, max_ncon > 0),
+        pl.cdiv(shift + max_ncon, C),
+        0,
+    )
+
+    def grad_read(ci, slot):
+        cstart = pl.multiple_of(off + ci * C, C)
+        return pltpu.make_async_copy(
+            grad_ref.at[:, pl.ds(cstart, C)], gr_vmem.at[slot], grsem.at[slot]
+        )
+
+    @pl.when(live > 0)
+    def _():
+        _rec_copy(rec_hbm, rec_vmem, sem, off, live - 1, 0, C).start()
+        grad_read(live - 1, 0).start()
+
+    def body(k, carry):
+        t_end, acc = carry
+        ci = live - 1 - k
+        slot = jax.lax.rem(k, 2)
+        _rec_copy(rec_hbm, rec_vmem, sem, off, ci, slot, C).wait()
+
+        @pl.when(ci > 0)
+        def _():
+            _rec_copy(rec_hbm, rec_vmem, sem, off, ci - 1, 1 - slot, C).start()
+            grad_read(ci - 1, 1 - slot).start()
+
+        rec = rec_vmem[slot]
+        lane_g = lane_iota + ci * C
+        valid = jnp.logical_and(lane_g >= shift, lane_g < count_w)
+        a, raw, rows = _chunk_alpha_mxu(rec, basis, t, valid, st)
+        mx, my, c00, cs, c11, op = rows
+        # Include mask from the stored contributor count, in within-tile RANK
+        # space (rank = lane - shift); head lanes of a shared window belong to
+        # the PREVIOUS tile and must not see this tile's cotangents.
+        rank = (lane_g - shift).astype(jnp.float32)
+        m = jnp.logical_and(rank >= 0.0, rank < ncon)  # (TT, C)
+        mf = jnp.where(m, 1.0, 0.0)
+        om_m = jnp.where(m, 1.0 - a, 1.0)
+        sp = jnp.exp(_mm(jnp.log(om_m), ut_incl, ((1,), (0,))))
+        tu = t_end / sp
+        w = tu * a * mf
+
+        cd = rec[6:10, :]
+        u = _mm(cot4, cd, ((1,), (0,)))
+        wu = w * u
+        suf_wu = _mm(wu, ut_incl, ((1,), (0,)))
+        acc_g = acc + (suf_wu - wu)
+
+        one_minus = jnp.maximum(1.0 - a, st.undo_denom_floor)
+        dl_da = mf * (u * tu - (acc_g + tfin_term) / one_minus)
+        draw = jnp.where(raw <= st.alpha_clamp, dl_da, 0.0)
+        de = draw * raw
+
+        dcoef = _mm(basis, de, ((0,), (0,)))
+        d_cd = _mm(cot4, w, ((0,), (0,)))
+
+        dc0, dc1, dc2 = dcoef[0:1, :], dcoef[1:2, :], dcoef[2:3, :]
+        dc3, dc4, dc5 = dcoef[3:4, :], dcoef[4:5, :], dcoef[5:6, :]
+        d_mx = dc0 * (-0.5 * (2.0 * c00 * mx + cs * my)) + dc1 * c00 + dc2 * (0.5 * cs)
+        d_my = dc0 * (-0.5 * (2.0 * c11 * my + cs * mx)) + dc2 * c11 + dc1 * (0.5 * cs)
+        d_c00 = dc0 * (-0.5 * mx * mx) + dc1 * mx - 0.5 * dc3
+        d_c11 = dc0 * (-0.5 * my * my) + dc2 * my - 0.5 * dc4
+        d_cs = dc0 * (-0.5 * mx * my) + dc1 * (0.5 * my) + dc2 * (0.5 * mx) - 0.5 * dc5
+        d_op = jnp.where(op > 1e-37, dc0 / jnp.maximum(op, 1e-37), 0.0)
+
+        @pl.when(k >= 2)
+        def _():
+            _grad_copy(grad_ref, grad_vmem, gsem, off, ci + 2, slot, C).wait()
+
+        grad_read(ci, slot).wait()
+        grad_vmem[slot] = gr_vmem[slot] + jnp.concatenate(
+            [d_mx, d_my, d_c00, d_cs, d_cs, d_c11, d_cd, d_op,
+             jnp.zeros((REC_DIM - 11, C), jnp.float32)],
+            axis=0,
+        )
+        _grad_copy(grad_ref, grad_vmem, gsem, off, ci, slot, C).start()
+
+        t_end = t_end / sp[:, 0:1]
+        acc = acc + suf_wu[:, 0:1]
+        return t_end, acc
+
+    jax.lax.fori_loop(
+        0, live, body, (t_final, jnp.zeros((tt, 1), jnp.float32))
+    )
+
+    # Drain the (up to) two in-flight gradient writes before the next grid
+    # step may read-modify-write a shared boundary window.
+    @pl.when(live >= 1)
+    def _():
+        _grad_copy(
+            grad_ref, grad_vmem, gsem, off, 0, jax.lax.rem(live - 1, 2), C
+        ).wait()
+
+    @pl.when(live >= 2)
+    def _():
+        _grad_copy(
+            grad_ref, grad_vmem, gsem, off, 1, jax.lax.rem(live - 2, 2), C
+        ).wait()
+
+
 def _zero_cot(x):
     return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
 
@@ -557,6 +715,12 @@ class SegsumStatic(NamedTuple):
     chunk: int  # pair chunk per DMA (must divide num_aligned)
     block_b: int  # Gaussians per grid block
     interpret: bool
+    # Gradient rows carried through the gid sort.  The backward kernels
+    # write d_cs to BOTH conic off-diagonal rows 3 and 4 (the reference VJP
+    # splits the gradient across both slots), so raster callers drop row 4
+    # from the sort payload and copy the reduced row 3 back afterwards —
+    # one fewer sorted column at [num_aligned] scale.
+    live_rows: tuple = tuple(range(11))
 
 
 def _segsum_kernel(bounds_ref, gid_hbm, rows_hbm, out_ref, rows_vmem,
@@ -614,16 +778,17 @@ def _segment_reduce_pallas(st: SegsumStatic, grad_cm, gid):
     nblk = -(-st.num_rec // B)
     sentinel = nblk * B
     gid = jnp.where(gid < st.num_rec, gid, sentinel)
-    # One sort carries the 11 live rows; invalid/padding pairs sort to the
+    # One sort carries the live rows; invalid/padding pairs sort to the
     # tail beyond bounds[nblk] and are never swept.
+    nlive = len(st.live_rows)
     cols = jax.lax.sort(
-        (gid,) + tuple(grad_cm[i] for i in range(11)), num_keys=1
+        (gid,) + tuple(grad_cm[i] for i in st.live_rows), num_keys=1
     )
     gid_s = cols[0].reshape(1, st.num_aligned)
     rows_s = jnp.concatenate(
         [
             jnp.stack(cols[1:], axis=0),
-            jnp.zeros((REC_DIM - 11, st.num_aligned), jnp.float32),
+            jnp.zeros((REC_DIM - nlive, st.num_aligned), jnp.float32),
         ],
         axis=0,
     )
@@ -653,7 +818,15 @@ def _segment_reduce_pallas(st: SegsumStatic, grad_cm, gid):
         grid_spec=grid_spec,
         interpret=st.interpret,
     )(bounds, gid_s, rows_s)
-    return out[: st.num_rec]
+    out = out[: st.num_rec]
+    if st.live_rows != tuple(range(11)):
+        # Swept column j holds the sum of grad row live_rows[j]; scatter the
+        # columns back to their kernel-row positions (dropped rows -> 0).
+        full = jnp.zeros((st.num_rec, REC_DIM), jnp.float32)
+        for j, r in enumerate(st.live_rows):
+            full = full.at[:, r].set(out[:, j])
+        out = full
+    return out
 
 
 class GatherStatic(NamedTuple):
@@ -684,8 +857,10 @@ def _gather_records_bwd(gst, residuals, g_cm):
         st = SegsumStatic(
             num_rec=gst.num_rec, num_aligned=gst.num_aligned,
             chunk=gst.chunk, block_b=gst.block_b, interpret=gst.interpret,
+            live_rows=RASTER_LIVE_ROWS,
         )
         grad_rec = _segment_reduce_pallas(st, g_cm, gid)
+        grad_rec = grad_rec.at[:, 4].set(grad_rec[:, 3])  # d_c10 = d_c01
     else:
         rows = jnp.where(aligned_valid[:, None], g_cm.T, 0.0)
         grad_rec = jnp.zeros((gst.num_rec, REC_DIM), jnp.float32).at[
@@ -744,6 +919,42 @@ def _raster_bwd(st: RasterStatic, residuals, cot_out):
         [cot_out[:, 0:5], alpha_ncon, jnp.zeros((num_tiles, 1, tt), jnp.float32)],
         axis=1,
     ).transpose(0, 2, 1)
+    if st.sorted_mode:
+        # Sorted-order backward: zero-initialized gradient buffer (aliased
+        # zeros input) + read-modify-write windows with boundary carry.
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec((1, tt, 8), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((2, REC_DIM, st.chunk), jnp.float32),
+                pltpu.VMEM((2, REC_DIM, st.chunk), jnp.float32),
+                pltpu.VMEM((2, REC_DIM, st.chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        zeros = jnp.zeros((REC_DIM, st.num_aligned), jnp.float32)
+        grad_records = pl.pallas_call(
+            functools.partial(_bwd_kernel_sorted, st=st),
+            out_shape=jax.ShapeDtypeStruct(
+                (REC_DIM, st.num_aligned), jnp.float32
+            ),
+            grid_spec=grid_spec,
+            interpret=st.interpret,
+            # Operand indices count the scalar-prefetch args (Mosaic offsets
+            # only dynamic grid bounds): (start, count, records, cot, zeros).
+            input_output_aliases={4: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(aligned_start, tile_count, records_cm, cot_block, zeros)
+        return grad_records, _zero_cot(aligned_start), _zero_cot(tile_count)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -889,10 +1100,15 @@ def rasterize_staged(
     transmittance_eps: float = 1e-4,
     undo_denom_floor: float = 1e-6,
     interpret: bool = False,
+    sorted_mode: bool = False,
 ) -> RenderOutputs:
-    """Rasterize a pre-staged chunk-aligned record buffer (ops/staging.py):
-    the fused staging path already produced kernel-layout records with its own
-    custom-VJP gradient reduction, so this is just the raster core + untile."""
+    """Rasterize a pre-staged record buffer (ops/staging.py): the fused
+    staging path already produced kernel-layout records with its own
+    custom-VJP gradient reduction, so this is just the raster core + untile.
+
+    sorted_mode=True: records are in raw sorted order (aligned_start carries
+    the UNALIGNED tile starts); the backward runs the boundary-carry kernel.
+    """
     grid_w = -(-image_width // tile_w)
     grid_h = -(-image_height // tile_h)
     if not interpret:
@@ -910,6 +1126,7 @@ def rasterize_staged(
         transmittance_eps=transmittance_eps,
         undo_denom_floor=undo_denom_floor,
         interpret=interpret,
+        sorted_mode=sorted_mode,
     )
     out = _raster_core(st, records_cm, aligned_start, tile_count)
     return _untile(out, st, image_width, image_height)

@@ -167,11 +167,24 @@ def _sorted_pairs(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
     # --- 2. ONE stable sort on (tile, depth) with records as payloads -------
     # Identical keys + stable + identical gaussian-major input order as the
     # split pipeline => identical permutation (bit-exact parity).
-    sorted_cols = jax.lax.sort(
-        (tile_ids, depth_keys) + tuple(g[6 + i] for i in range(11)) + (gid,),
+    # Record row 9 (depth) is NOT carried as a payload: it equals the depth
+    # KEY for valid lanes (both are packed column 10 = p.depths through the
+    # same merge), so the sorted key column is reused and invalid lanes
+    # (key +inf) are re-zeroed to match the zero-pad rows the payload
+    # carried — one elementwise select instead of a 14th sorted column.
+    sorted_13 = jax.lax.sort(
+        (tile_ids, depth_keys)
+        + tuple(g[6 + i] for i in range(11) if i != 9)
+        + (gid,),
         num_keys=2,
         is_stable=True,
     )
+    row9 = jnp.where(
+        jnp.arange(st.max_pairs, dtype=jnp.int32) < e.num_pairs,
+        sorted_13[1],
+        0.0,
+    )
+    sorted_cols = sorted_13[:11] + (row9,) + sorted_13[11:13]
     sorted_tile = sorted_cols[0]
     tile_iota = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(
@@ -413,8 +426,10 @@ def _stage_bwd(st, gid_aligned, cot: StagedPairs):
         sst = rp.SegsumStatic(
             num_rec=st.num_rec, num_aligned=num_aligned,
             chunk=seg_chunk, block_b=128, interpret=st.interpret,
+            live_rows=rp.RASTER_LIVE_ROWS,
         )
         grad_rec = rp._segment_reduce_pallas(sst, g_cm, gid_aligned)
+        grad_rec = grad_rec.at[:, 4].set(grad_rec[:, 3])  # d_c10 = d_c01
     else:
         valid = gid_aligned < st.num_rec
         rows = jnp.where(valid[:, None], g_cm.T, 0.0)
@@ -437,6 +452,109 @@ def _stage_bwd(st, gid_aligned, cot: StagedPairs):
 
 
 stage_pairs.defvjp(_stage_fwd, _stage_bwd)
+
+
+def _train_pad(st: StagingStatic) -> int:
+    """Zero columns appended after max_pairs for the training-sorted buffer:
+    at least `chunk` (the kernel's last window read overruns the final tile
+    by up to chunk-1 columns) and padding the total to a 512 multiple (the
+    segment-reduce's best DMA chunk, scripts/bwd_reduce_tune.py)."""
+    base = st.max_pairs + st.chunk
+    return -(-base // 512) * 512 - st.max_pairs
+
+
+def _stage_train_impl(st: StagingStatic, packed, rect_min, rect_max, radii,
+                      depths):
+    assert st.num_rec < 2 ** 24, "gid f32-value carriage needs num_rec < 2^24"
+    sorted_cols, tile_start, tile_count, e = _sorted_pairs(
+        st, packed, rect_min, rect_max, radii, depths
+    )
+    pad = _train_pad(st)
+    sorted_table = jnp.stack(
+        list(sorted_cols[2:13])
+        + [jnp.zeros((st.max_pairs,), jnp.float32)] * (rp.REC_DIM - 11),
+        axis=0,
+    )
+    records_cm = jnp.concatenate(
+        [sorted_table, jnp.zeros((rp.REC_DIM, pad), jnp.float32)], axis=1
+    )
+    valid = jnp.arange(st.max_pairs, dtype=jnp.int32) < e.num_pairs
+    gid_full = jnp.concatenate(
+        [
+            jnp.where(valid, sorted_cols[13], st.num_rec).astype(jnp.int32),
+            jnp.full((pad,), st.num_rec, jnp.int32),
+        ]
+    )
+    staged = SortedPairs(
+        records_cm=records_cm,
+        tile_start=tile_start,
+        tile_count=tile_count,
+        num_pairs=e.num_pairs,
+        overflow_gaussians=e.overflow_gaussians,
+        overflow_pairs=e.overflow_pairs,
+    )
+    return staged, gid_full
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def stage_pairs_train(
+    st: StagingStatic, packed, rect_min, rect_max, radii, depths
+) -> "SortedPairs":
+    """TRAINING staging in raw sorted order: no aligned relayout at all.
+
+    The forward kernel has tolerated unaligned tile starts since round 3 (the
+    inference fast path); round 5 adds the boundary-carry backward kernel
+    (rasterize_pallas._bwd_kernel_sorted), so training no longer pays the
+    relayout (~6 ms/step at the bench workload) or the per-tile alignment
+    padding in the forward/backward sweeps and the gradient segment
+    reduction (~18% of rows).  Gradients match stage_pairs up to fp
+    regrouping of the kernels' per-chunk prefix products (chunk boundaries
+    fall at different pair offsets — same ULP-level effect as the inference
+    fast path); include sets, contributor counts, and the gid-sort reduction
+    order are exact (the aligned layout preserves sorted order within tiles,
+    so removing the padding does not reorder any gaussian's pair rows)."""
+    staged, _ = _stage_train_impl(st, packed, rect_min, rect_max, radii, depths)
+    return staged
+
+
+def _stage_train_fwd(st, packed, rect_min, rect_max, radii, depths):
+    return _stage_train_impl(st, packed, rect_min, rect_max, radii, depths)
+
+
+def _stage_train_bwd(st, gid_full, cot: "SortedPairs"):
+    g_cm = cot.records_cm
+    total = g_cm.shape[1]
+    seg_chunk = (
+        rp.pick_seg_chunk(total, st.chunk)
+        if st.grad_reduce == "segsum" else 0
+    )
+    if seg_chunk:
+        sst = rp.SegsumStatic(
+            num_rec=st.num_rec, num_aligned=total,
+            chunk=seg_chunk, block_b=128, interpret=st.interpret,
+            live_rows=rp.RASTER_LIVE_ROWS,
+        )
+        grad_rec = rp._segment_reduce_pallas(sst, g_cm, gid_full)
+        grad_rec = grad_rec.at[:, 4].set(grad_rec[:, 3])  # d_c10 = d_c01
+    else:
+        valid = gid_full < st.num_rec
+        rows = jnp.where(valid[:, None], g_cm.T, 0.0)
+        idx = jnp.where(valid, gid_full, 0)
+        grad_rec = jnp.zeros((st.num_rec, rp.REC_DIM), jnp.float32).at[
+            idx
+        ].add(rows)
+    d_packed = grad_rec[:, list(_PERM)]
+    n = st.num_rec
+    return (
+        d_packed,
+        jnp.zeros((n, 2), jnp.float32),
+        jnp.zeros((n, 2), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+    )
+
+
+stage_pairs_train.defvjp(_stage_train_fwd, _stage_train_bwd)
 
 
 class SortedPairs(NamedTuple):

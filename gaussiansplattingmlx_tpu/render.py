@@ -147,11 +147,24 @@ def render(
             grad_reduce=cfg.grad_reduce,
             interpret=backend == "pallas_interpret",
         )
+        train_staging = (
+            os.environ.get("GSPLAT_TRAIN_STAGING") or cfg.train_staging
+        )
+        sorted_mode = False
         if inference:
             staged = staging_mod.stage_pairs_sorted(
                 sst, packed, rect_min, rect_max, p.radii, p.depths
             )
             starts = staged.tile_start
+        elif train_staging == "sorted":
+            # Round-5 training fast path: raw sorted-order records, no
+            # aligned relayout; backward = boundary-carry kernel
+            # (bit-identical gradients to the aligned path).
+            staged = staging_mod.stage_pairs_train(
+                sst, packed, rect_min, rect_max, p.radii, p.depths
+            )
+            starts = staged.tile_start
+            sorted_mode = True
         else:
             staged = staging_mod.stage_pairs(
                 sst, packed, rect_min, rect_max, p.radii, p.depths
@@ -170,6 +183,7 @@ def render(
             transmittance_eps=cfg.transmittance_eps,
             undo_denom_floor=cfg.undo_denom_floor,
             interpret=backend == "pallas_interpret",
+            sorted_mode=sorted_mode,
         )
         color = rasterize_ref.apply_background(
             out.color, out.alpha, white_background

@@ -363,9 +363,29 @@ def run_campaign(args, cams, images, pcd, W, H, out_dir,
     # ---- run ----------------------------------------------------------------
     log_path = out_dir / "metrics.jsonl"
     log_path.touch()  # heartbeat for the supervisor: startup phase is alive
+
+    # The FIRST train-step compile is unbounded from the supervisor's view
+    # (round-5: >900 s when the host CPU is shared) — touch the heartbeat
+    # every 2 min until the first metrics row lands, bounded at 45 min so a
+    # genuinely wedged startup is still stall-killed.  Mid-training RPC
+    # wedges (the tunnel failure mode) are NOT masked: this thread exits at
+    # the first successful step.
+    import threading
+
+    first_row = threading.Event()
+
+    def _startup_heartbeat():
+        deadline = time.time() + 45 * 60
+        while not first_row.is_set() and time.time() < deadline:
+            first_row.wait(120)
+            if not first_row.is_set():
+                log_path.touch()
+
+    threading.Thread(target=_startup_heartbeat, daemon=True).start()
     t0 = time.time()
 
     def on_metrics(m):
+        first_row.set()  # first step landed: startup heartbeat thread exits
         row = dict(m, capacity=int(trainer.state.params.capacity),
                    max_pairs=trainer.cfg.raster.max_pairs,
                    wall_s=round(time.time() - t0, 1))

@@ -154,9 +154,12 @@ def test_fused_render_matches_split_bitwise():
     )
 
     def loss_for(staging_mode):
+        # train_staging pinned to "aligned": fused-vs-split is bit-exact on
+        # the aligned layout; the sorted training path regroups per-chunk fp
+        # (covered by test_train_sorted_matches_aligned).
         cfg = RasterizerConfig(
             tile_h=TILE, tile_w=TILE, max_pairs=MAX_PAIRS, chunk_size=CHUNK,
-            staging=staging_mode,
+            staging=staging_mode, train_staging="aligned",
         )
 
         def f(ptuple):
@@ -371,7 +374,7 @@ def test_fused_render_tile32_matches_split():
     def run(backend, staging_mode):
         cfg = RasterizerConfig(
             tile_h=32, tile_w=32, max_pairs=2048, chunk_size=32,
-            staging=staging_mode,
+            staging=staging_mode, train_staging="aligned",
         )
         out, aux = render(
             means, shs, opacity, scales, rots,
@@ -408,3 +411,107 @@ def test_relayout_segmented_matches_single_call(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(staged_one.records_cm), np.asarray(staged_seg.records_cm)
     )
+
+
+def test_train_sorted_matches_aligned():
+    """Training over SORTED-order records (stage_pairs_train + boundary-carry
+    backward) vs the aligned-relayout path: same include sets (n_contrib
+    bitwise), values and gradients equal up to fp regrouping of the
+    per-chunk prefix products (the same ULP-level effect the inference fast
+    path exhibits), and exact zero gradients for untouched gaussians."""
+    params, cam = scene(seed=7)
+    t = cam.tensors()
+    target = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(H, W, 3)).astype(np.float32)
+    )
+
+    def loss_for(train_staging):
+        cfg = RasterizerConfig(
+            tile_h=TILE, tile_w=TILE, max_pairs=MAX_PAIRS, chunk_size=CHUNK,
+            train_staging=train_staging,
+        )
+
+        def f(ptuple):
+            pp = gaussians.GaussianParams.from_tuple(ptuple)
+            means, shs, opacity, scales, rots = gaussians.activations(pp)
+            out, aux = render(
+                means, shs, opacity, scales, rots,
+                jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+                jnp.asarray(t["camera_center"]),
+                t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
+                W, H, 0, raster_cfg=cfg, backend="pallas_interpret",
+            )
+            return jnp.sum((out.color - target) ** 2) + jnp.sum(out.depth), (
+                out, aux)
+
+        (loss, (out, aux)), grads = jax.value_and_grad(f, has_aux=True)(
+            params.as_tuple()
+        )
+        return loss, out, aux, grads
+
+    l1, o1, a1, g1 = loss_for("sorted")
+    l2, o2, a2, g2 = loss_for("aligned")
+    assert int(a1.num_pairs) == int(a2.num_pairs) > 0
+    np.testing.assert_array_equal(
+        np.asarray(o1.n_contrib), np.asarray(o2.n_contrib)
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1.color), np.asarray(o2.color), atol=2e-6, rtol=1e-5
+    )
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for x, y in zip(g1, g2):
+        x, y = np.asarray(x), np.asarray(y)
+        if x.size == 0:
+            continue
+        scale = np.maximum(np.abs(y).max(), 1e-30)
+        np.testing.assert_allclose(x / scale, y / scale, atol=3e-5)
+        # Exact-zero structure must be preserved (a gaussian with no
+        # contributing pair gets exactly zero gradient on both paths).
+        np.testing.assert_array_equal(x == 0.0, y == 0.0)
+
+
+def test_train_sorted_tiny_tiles_share_windows():
+    """Several tiles inside one 128-lane window: the boundary-carry RMW must
+    accumulate every tile's rows (window shared by >2 tiles)."""
+    params, cam = scene(n=6, seed=23)
+    import dataclasses as dc
+    params = dc.replace(
+        params,
+        scales=jnp.full((6, 3), np.log(0.35), jnp.float32),
+        opacity=jnp.full((6, 1), 1.5, jnp.float32),
+    )
+    t = cam.tensors()
+    target = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(H, W, 3)).astype(np.float32)
+    )
+
+    def loss_for(train_staging):
+        cfg = RasterizerConfig(
+            tile_h=TILE, tile_w=TILE, max_pairs=256, chunk_size=CHUNK,
+            train_staging=train_staging,
+        )
+
+        def f(ptuple):
+            pp = gaussians.GaussianParams.from_tuple(ptuple)
+            means, shs, opacity, scales, rots = gaussians.activations(pp)
+            out, _ = render(
+                means, shs, opacity, scales, rots,
+                jnp.asarray(t["view"]), jnp.asarray(t["proj"]),
+                jnp.asarray(t["camera_center"]),
+                t["fov_x"], t["fov_y"], t["focal_x"], t["focal_y"],
+                W, H, 0, raster_cfg=cfg, backend="pallas_interpret",
+            )
+            return jnp.sum((out.color - target) ** 2)
+
+        return jax.grad(f)(params.as_tuple())
+
+    # With 9 tiles, max_pairs 256, chunk 32: several tiles per chunk window.
+    g1 = loss_for("sorted")
+    g2 = loss_for("aligned")
+    for x, y in zip(g1, g2):
+        x, y = np.asarray(x), np.asarray(y)
+        if x.size == 0:
+            continue
+        scale = np.maximum(np.abs(y).max(), 1e-30)
+        np.testing.assert_allclose(x / scale, y / scale, atol=3e-5)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in g2 if np.asarray(x).size)
