@@ -116,4 +116,26 @@ io_ = run_inference(packed)
 print("INFER color maxdiff", float(jnp.abs(io_.color - want.color).max()))
 print("INFER ncon mismatch frac",
       float(jnp.mean((io_.n_contrib != want.n_contrib).astype(jnp.float32))))
+
+# ---- sorted-order TRAINING path: boundary-carry backward (round 5) ---------
+@jax.jit
+def run_sorted(p):
+    s = staging.stage_pairs_train(sst, p, rm, rx, rd, dp)
+    return rasterize_pallas.rasterize_staged(
+        s.records_cm, s.tile_start, s.tile_count, W, H, tw, th,
+        chunk_size=128, sorted_mode=True)
+
+@jax.jit
+def run_sorted_grad(p):
+    def loss(p):
+        o = run_sorted.__wrapped__(p)
+        return jnp.sum((o.color-target)**2) + 0.3*jnp.sum(o.depth**2) + 0.7*jnp.sum(o.alpha)
+    return jax.grad(loss)(p)
+
+so_ = run_sorted(packed)
+print("SORTED color maxdiff", float(jnp.abs(so_.color - want.color).max()))
+print("SORTED ncon mismatch frac",
+      float(jnp.mean((so_.n_contrib != want.n_contrib).astype(jnp.float32))))
+gs = run_sorted_grad(packed)
+print("SORTED grad relnorm", float(jnp.linalg.norm(gs - g_o)) / gn)
 print("OK")
