@@ -94,6 +94,17 @@ class ModelConfig:
     # only O(log) times over a run.
     initial_capacity: int = 2 ** 14
     max_gaussians: int = 1_000_000  # GaussianTrainer.swift:300
+    # INRIA-style SH-degree warmup (no reference counterpart: the reference
+    # trains all SH bands from iteration 0).  When > 0, band d of
+    # features_rest only receives signal from iteration d * sh_warmup_interval
+    # onward (oneupSHdegree every N iters).  With the reference's UNNORMALIZED
+    # SH view directions (GaussianTrainer.swift sh evaluation), degree-4 basis
+    # terms scale like |dir|^4 — letting them move from iteration 0 makes
+    # early color steps violently view-dependent and destabilizes SH4 runs.
+    # Implemented as a traced mask on features_rest inside the jitted step
+    # (zero forward contribution AND zero gradient for inactive bands), so
+    # warmup causes no recompiles.  0 disables (reference behaviour).
+    sh_warmup_interval: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,6 +31,7 @@ Built on `shard_map` so the Pallas rasterizer runs rank-identical per shard
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Dict, Optional
 
 import jax
@@ -109,6 +110,15 @@ def make_dp_train_step(
             "(exactness)"
         )
 
+    # SH-degree warmup — same traced band mask as the single-device step
+    # (train/trainer.py make_train_step); replicated math, no collectives.
+    warmup = int(getattr(cfg.model, "sh_warmup_interval", 0))
+    if warmup > 0:
+        n_rest = (sh_degree + 1) ** 2 - 1
+        rest_row_degree = jnp.asarray(
+            np.floor(np.sqrt(np.arange(1, n_rest + 1))).astype(np.float32)
+        )
+
     def per_device(state: TrainState, views: Dict, view_idx):
         if batched_views:
             # views is this device's [1, ...] slice of the per-step batch.
@@ -120,6 +130,15 @@ def make_dp_train_step(
 
         def loss_fn(ptuple):
             params = GaussianParams.from_tuple(ptuple)
+            if warmup > 0:
+                active_deg = (state.step // warmup).astype(jnp.float32)
+                band_mask = (rest_row_degree <= active_deg).astype(
+                    params.features_rest.dtype
+                )
+                params = dataclasses.replace(
+                    params,
+                    features_rest=params.features_rest * band_mask[None, :, None],
+                )
             means3d, shs, opacity, scales, rotations = gaussians.activations(
                 params, active
             )

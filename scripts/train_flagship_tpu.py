@@ -118,6 +118,10 @@ def main():
     ap.add_argument("--gt-gaussians", type=int, default=60000)
     ap.add_argument("--init-points", type=int, default=16384)
     ap.add_argument("--sh-degree", type=int, default=3)
+    ap.add_argument("--sh-warmup", type=int, default=0,
+                    help="INRIA-style SH-degree warmup: rest band d active "
+                         "from iter d*N (0 = all bands from iter 0, the "
+                         "reference behaviour)")
     ap.add_argument("--densify-until", type=int, default=15000)
     ap.add_argument("--checkpoint-interval", type=int, default=2500,
                     help="dense checkpoints bound the rollback when the "
@@ -340,6 +344,7 @@ def run_campaign(args, cams, images, pcd, W, H, out_dir,
         model=ModelConfig(
             sh_degree=args.sh_degree, initial_capacity=args.initial_capacity,
             max_gaussians=1_000_000,
+            sh_warmup_interval=args.sh_warmup,
         ),
         raster=RasterizerConfig(max_pairs=args.max_pairs,
                                 max_pairs_limit=args.max_pairs_limit),

@@ -572,3 +572,63 @@ def test_prune_only_maintenance_window(scene):
     # Both injected pathologies are pruned by the maintenance rounds; the
     # model never grows (densify window closed before the first interval).
     assert n1 <= n0 - 2
+
+
+def test_sh_warmup_gates_rest_bands(scene):
+    """ModelConfig.sh_warmup_interval: rest band d is frozen (zero forward
+    contribution AND zero gradient) until iteration d*interval, ramps in
+    without recompiling, and past the full ramp the step is bit-identical to
+    a warmup-free step."""
+    from gaussiansplattingmlx_tpu.train.trainer import stack_views
+
+    pts, cols, cams, images = scene
+    data = TrainData(cameras=cams, images=images)
+    pc = PointCloud(coords=pts, colors=cols * 255.0)
+
+    def make_trainer(warmup):
+        cfg = TrainConfig(
+            iterations=100,
+            init_points=len(pts),
+            log_interval=10**9,
+            snapshot_interval=10**9,
+            checkpoint_interval=0,
+            output_dir="",
+            model=ModelConfig(sh_degree=2, initial_capacity=64,
+                              sh_warmup_interval=warmup),
+            raster=RASTER,
+            densify=DensifyConfig(from_iter=10**9),
+        )
+        return Trainer(cfg, data, pc, backend="reference")
+
+    tr = make_trainer(warmup=5)
+    views = stack_views(data)
+    copy_state = lambda st: jax.tree.map(jnp.copy, st)
+
+    def step_at(trainer, step):
+        st = dataclasses.replace(copy_state(trainer.state),
+                                 step=jnp.int32(step))
+        new_state, _, _ = trainer.train_step(st, views, jnp.int32(0))
+        return new_state
+
+    # SH(2) rest rows: 0-2 are degree 1, 3-7 are degree 2.
+    rest0 = np.asarray(tr.state.params.features_rest)
+
+    s0 = step_at(tr, 0)  # active degree 0: ALL rest rows frozen
+    assert np.array_equal(np.asarray(s0.params.features_rest), rest0)
+    assert not np.array_equal(np.asarray(s0.params.features_dc),
+                              np.asarray(tr.state.params.features_dc))
+
+    s5 = step_at(tr, 5)  # active degree 1: rows 0-2 move, 3-7 frozen
+    r5 = np.asarray(s5.params.features_rest)
+    assert not np.array_equal(r5[:, :3], rest0[:, :3])
+    assert np.array_equal(r5[:, 3:], rest0[:, 3:])
+
+    s10 = step_at(tr, 10)  # active degree 2 == full model
+    r10 = np.asarray(s10.params.features_rest)
+    assert not np.array_equal(r10[:, 3:], rest0[:, 3:])
+
+    # Past the ramp the warmup step is bit-identical to the plain step.
+    tr_plain = make_trainer(warmup=0)
+    s10_plain = step_at(tr_plain, 10)
+    for a, b in zip(s10.params.as_tuple(), s10_plain.params.as_tuple()):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

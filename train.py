@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--resize-factor", type=float, default=0.5)
     p.add_argument("--init-points", type=int, default=16384)
     p.add_argument("--sh-degree", type=int, default=4)
+    p.add_argument("--sh-warmup", type=int, default=0,
+                   help="INRIA-style SH warmup: rest band d trains from iter "
+                        "d*N (0 = reference behaviour, all bands from iter 0)")
     p.add_argument("--white-background", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", default=None,
@@ -122,7 +125,8 @@ def main(argv=None):
         parallel=par_cfg,
         densify=densify_cfg,
         model=dataclasses.replace(
-            cfg.model, sh_degree=args.sh_degree, max_gaussians=args.max_gaussians
+            cfg.model, sh_degree=args.sh_degree, max_gaussians=args.max_gaussians,
+            sh_warmup_interval=args.sh_warmup,
         ),
     )
 
