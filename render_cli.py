@@ -45,6 +45,16 @@ def parse_args(argv=None):
                         "and report sustained rendered frames/s (the "
                         "reference viewer's interactive-rate metric, "
                         "Metal/MetalGaussianRenderer.swift:262-299)")
+    p.add_argument("--bench-batch", type=int, default=8,
+                   help="frames rendered per device dispatch in the bench "
+                        "(lax.map over stacked cameras).  On a TUNNELED "
+                        "backend each dispatch pays a host RPC round-trip "
+                        "(~80 ms here — the round-4 8.1 fps 'regression' was "
+                        "entirely this); batching amortizes it so the metric "
+                        "tracks device render throughput, like the "
+                        "reference's viewer whose frames never leave the "
+                        "GPU (Metal/MetalGaussianRenderer.swift:262-299).  "
+                        "1 = one dispatch per frame (round-2/-4 metric)")
     return p.parse_args(argv)
 
 
@@ -204,30 +214,75 @@ def main(argv=None):
         # time device-bound rendering only (one host sync at the end).
         import time
 
-        cams = [cam_tensors(i, args.bench_frames)
-                for i in range(args.bench_frames)]
+        B = max(1, min(args.bench_batch, args.bench_frames))
+        n_frames = -(-args.bench_frames // B) * B  # round up to full batches
+
+        def make_render_batch(rcfg):
+            rv = make_render_view(rcfg)  # inlines when traced inside jit
+
+            @jax.jit
+            def render_batch(view, proj, center, fx, fy, fovx, fovy):
+                def body(c):
+                    color, _, ovfl, npair = rv(*c)
+                    return color, ovfl, npair
+
+                return jax.lax.map(
+                    body, (view, proj, center, fx, fy, fovx, fovy)
+                )
+
+            return render_batch
+
+        def stacked_batch(b):
+            cams = [cam_tensors(i, n_frames)
+                    for i in range(b * B, (b + 1) * B)]
+            return tuple(
+                jnp.stack([jnp.asarray(c[k]) for c in cams])
+                for k in range(7)
+            )
+
+        batches = [stacked_batch(b) for b in range(n_frames // B)]
         for attempt in range(2):
-            color, _, _, _ = render_view(*cams[0])  # warm cache, this shape
-            float(color[0, 0, 0])  # fetch = true sync (block_until_ready can
-            # lie on tunneled backends — return before execution finishes)
+            render_batch = make_render_batch(cfg)
+            color, _, _ = render_batch(*batches[0])  # warm cache, this shape
+            float(color[0, 0, 0, 0])  # fetch = true sync (block_until_ready
+            # can lie on tunneled backends — return before execution finishes)
             t0 = time.perf_counter()
-            outs = [render_view(*c) for c in cams]
-            float(outs[-1][0][0, 0, 0])
+            audits = []
+            out = None
+            for bt in batches:
+                out = render_batch(*bt)
+                audits.append(out[1:])  # [B] overflow / num_pairs, on device
+            float(out[0][0, 0, 0, 0])
             dt = time.perf_counter() - t0
             # Overflow audit OUTSIDE the timed region: a truncated frame must
             # never back an fps claim.  Grow once and re-run if any clipped.
-            clipped = sum(float(o[2]) for o in outs)
+            clipped = sum(float(jnp.sum(a[0])) for a in audits)
             if clipped == 0 or cfg.max_pairs >= cfg.max_pairs_limit:
                 break
             cfg = _dc.replace(cfg, max_pairs=min(cfg.max_pairs * 2,
                                                  cfg.max_pairs_limit))
             print(f"bench overflow ({clipped:.0f} pairs clipped): growing "
                   f"max_pairs to {cfg.max_pairs}, re-running", flush=True)
-            render_view = make_render_view(cfg)
-        fps = args.bench_frames / dt
-        print(f"rendered {args.bench_frames} frames at "
+        fps = n_frames / dt
+        print(f"rendered {n_frames} frames at "
               f"{args.width}x{args.height}: {fps:.1f} frames/s "
-              f"({1e3 * dt / args.bench_frames:.1f} ms/frame)")
+              f"({1e3 * dt / n_frames:.1f} ms/frame, "
+              f"{B} frames/dispatch)")
+        if B > 1:
+            # Per-dispatch reference point (the round-2/round-4 metric):
+            # same frames, one RPC per frame — the gap to the batched number
+            # is pure host/tunnel dispatch overhead, not render time.
+            singles = [cam_tensors(i, n_frames) for i in range(n_frames)]
+            color, _, _, _ = render_view(*singles[0])
+            float(color[0, 0, 0])
+            t0 = time.perf_counter()
+            outs = [render_view(*c) for c in singles]
+            float(outs[-1][0][0, 0, 0])
+            dt1 = time.perf_counter() - t0
+            print(f"  per-dispatch: {n_frames / dt1:.1f} frames/s "
+                  f"({1e3 * dt1 / n_frames:.1f} ms/frame) — "
+                  f"dispatch overhead "
+                  f"{1e3 * (dt1 - dt) / n_frames:+.1f} ms/frame")
 
 
 if __name__ == "__main__":
