@@ -135,6 +135,10 @@ def main(argv=None):
         "ssim_mean": float(np.mean(ssims)),
         "l1_mean": float(np.mean(l1s)),
         "views": len(psnrs),
+        # Per-view spread: a high mean can hide barely-reconstructed
+        # viewpoints (the round-4 held-out set spanned 13.6-25.5 dB).
+        "per_view_psnr": [round(p, 2) for p in psnrs],
+        "view_ids": view_ids,
     }
     print(json.dumps(result))
 

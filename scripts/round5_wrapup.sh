@@ -1,0 +1,79 @@
+#!/bin/bash
+# Round-5 measurement chain.  Run AFTER the flagship_sh4 campaign finishes
+# (it writes summary.json, incl. inline held-out eval).  Every leg is
+# timeout-bounded and failure-isolated (a dead leg records its log and the
+# chain moves on — no retry-into-wedge, one TPU client at a time); results
+# are reported incrementally (scripts/report_round5.py is idempotent).
+set -u
+cd /root/repo
+mkdir -p outputs/round5
+LOG=outputs/round5
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "--- $name: $* ($(date -u +%T)Z)" | tee -a $LOG/chain.log
+  timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "--- $name done rc=$rc" | tee -a $LOG/chain.log
+  tail -5 "$LOG/$name.log" | tee -a $LOG/chain.log
+  return $rc
+}
+
+# 0. heavy+slow test sweep on CPU (VERDICT r4 item 8: the 2-process multihost
+#    suites must be green at HEAD every round) — no TPU contention.
+run tests_heavy 2400 env JAX_PLATFORMS=cpu GSPLAT_PLATFORM=cpu \
+    python -m pytest tests/ -q -m "heavy or slow" -p no:cacheprovider
+
+# 1. kernel parity on the real chip (cheap, catches regressions first;
+#    includes the sorted-order training backward since round 5)
+run tpu_check 1200 python scripts/tpu_check.py
+
+# 2. headline bench: sorted-train staging at 16x16 and 32x32 (bench.py
+#    defaults to tile 32 since round 4 — set the tile explicitly on every
+#    leg), plus the aligned-staging A/Bs
+run bench_t16 1500 env GSPLAT_BENCH_TILE=16 python bench.py
+run bench_t32 1500 env GSPLAT_BENCH_TILE=32 python bench.py
+run bench_t16_aligned 1500 \
+    env GSPLAT_BENCH_TILE=16 GSPLAT_TRAIN_STAGING=aligned python bench.py
+run bench_t32_aligned 1500 \
+    env GSPLAT_BENCH_TILE=32 GSPLAT_TRAIN_STAGING=aligned python bench.py
+
+# 3. stage breakdown at the probed-snug budget (sorted-train default)
+run profile 2400 python scripts/profile_breakdown.py --size 800 \
+    --gaussians 100000 --max-pairs 1474560 --fine
+
+# 4. at-scale sorted-vs-aligned training gradient parity (the denormal-bug
+#    class only manifests at large segmented grids)
+run sorted_grad_check 2400 python scripts/sorted_grad_scale_check.py
+
+run report_early 600 python scripts/report_round5.py
+
+# 5. inference fps: batched (device throughput) + per-dispatch (tunnel
+#    reference point) in one leg each — render_cli prints both since round 5
+if [ -f outputs/flagship_sh4/ckpt_2500.npz ]; then
+  run ckpt2k_ply 600 python scripts/ckpt_to_ply.py \
+      outputs/flagship_sh4/ckpt_2500.npz -o /tmp/small_model.ply
+  run renderfps_small 2400 python render_cli.py \
+      --ply /tmp/small_model.ply --orbit 4 --out outputs/round5/renders_small \
+      --bench-frames 64 --bench-batch 8 --white-background
+fi
+PLY=$(ls -t outputs/flagship_sh4/iteration_*.ply 2>/dev/null | head -1)
+if [ -n "$PLY" ]; then
+  run renderfps_sh4 2400 python render_cli.py \
+      --ply "$PLY" --orbit 4 --out outputs/round5/renders_sh4 \
+      --bench-frames 64 --bench-batch 8 --white-background
+  # independent eval.py passes (campaign already evaluated inline)
+  run eval_holdout 2400 python eval.py --dataset colmap \
+      --root outputs/vendor_scene_800 --resize-factor 1.0 \
+      --ply "$PLY" --views 0,9,18,27 --max-pairs 8388608 \
+      --save-renders outputs/round5/eval_holdout
+  run eval_all 3600 python eval.py --dataset colmap \
+      --root outputs/vendor_scene_800 --resize-factor 1.0 \
+      --ply "$PLY" --max-pairs 8388608
+fi
+
+# 6. final report + persist
+run report 600 python scripts/report_round5.py
+run persist 900 python scripts/persist_artifacts.py --round 5
+
+echo "=== round5 chain complete: $(date -u +%FT%TZ) ===" | tee -a $LOG/chain.log

@@ -40,14 +40,15 @@ def newest_checkpoint(out_dir: Path):
     return max(ckpts)[1] if ckpts else None
 
 
-def run_once(cmd, heartbeat: Path, stall_timeout: float):
+def run_once(cmd, heartbeat: Path, stall_timeout: float,
+             poll_interval: float = 15.0):
     """Run cmd; return ('ok'|'crash'|'stall', returncode)."""
     proc = subprocess.Popen(cmd, start_new_session=True)
     started = time.time()  # a pre-existing heartbeat file must not count
     try:
         while True:
             try:
-                rc = proc.wait(timeout=15)
+                rc = proc.wait(timeout=poll_interval)
                 return ("ok" if rc == 0 else "crash"), rc
             except subprocess.TimeoutExpired:
                 pass

@@ -55,6 +55,7 @@ def test_make_global_view_batch_sharding():
         assert spec[0] == "data"
 
 
+@pytest.mark.heavy
 def test_batched_step_matches_idx_step(scene):  # noqa: F811
     """The multi-host batched step == the replicated-views + idx step."""
     pts, cols, cams, images = scene
@@ -168,6 +169,7 @@ def test_multihost_trainer_checkpoint_resume(tmp_path):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+@pytest.mark.heavy
 def test_trainer_batched_views_single_process(scene):  # noqa: F811
     """Trainer batched-views mode on the virtual mesh (single process):
     host-local store, per-shard sampling, densify + replication all wired."""
@@ -200,6 +202,7 @@ def test_trainer_batched_views_single_process(scene):  # noqa: F811
     assert int(trainer.state.num_active) > n0  # densify ran under the mesh
 
 
+@pytest.mark.heavy
 def test_trainer_batched_views_with_tile_axis(scene):  # noqa: F811
     """Batched-views Trainer on a (data=2, tile=2) mesh: host-local store +
     band-sharded rendering compose (the full multi-host pod shape)."""

@@ -138,6 +138,7 @@ def single_view_loss_and_grad(views, state, i, raster=RASTER):
     return go(state.params.as_tuple(), jnp.int32(i))
 
 
+@pytest.mark.heavy
 def test_dp_matches_mean_of_single_steps(scene):
     """8-way DP step == single-device step on the averaged gradient, and the
     densify statistic is the MEAN OF per-view grad NORMS."""
@@ -188,6 +189,7 @@ def test_dp_matches_mean_of_single_steps(scene):
     )
 
 
+@pytest.mark.heavy
 def test_tile_parallel_matches_single_device(scene):
     """(data=1, tile=2) step == the plain single-device train step: loss,
     gradients (via params), and densify statistic all allclose — the SSIM
@@ -230,6 +232,7 @@ def test_tile_parallel_matches_single_device(scene):
     )
 
 
+@pytest.mark.heavy
 def test_mesh_trainer_converges_with_densify(scene):
     """Full Trainer loop on a (data=4, tile=2) mesh: multi-step training
     improves the loss and densification grows the model under the mesh

@@ -30,7 +30,8 @@ def test_newest_checkpoint(tmp_path):
 def test_run_once_clean_exit(tmp_path):
     hb = tmp_path / "metrics.jsonl"
     status, rc = sup.run_once(
-        [sys.executable, "-c", "print('ok')"], hb, stall_timeout=60
+        [sys.executable, "-c", "print('ok')"], hb, stall_timeout=60,
+        poll_interval=0.2,
     )
     assert status == "ok" and rc == 0
 
@@ -38,7 +39,8 @@ def test_run_once_clean_exit(tmp_path):
 def test_run_once_crash(tmp_path):
     hb = tmp_path / "metrics.jsonl"
     status, rc = sup.run_once(
-        [sys.executable, "-c", "raise SystemExit(3)"], hb, stall_timeout=60
+        [sys.executable, "-c", "raise SystemExit(3)"], hb, stall_timeout=60,
+        poll_interval=0.2,
     )
     assert status == "crash" and rc == 3
 
@@ -53,9 +55,10 @@ def test_run_once_detects_stall_and_kills_group(tmp_path):
         "time.sleep(3600)\n"
     )
     t0 = time.time()
-    status, rc = sup.run_once([sys.executable, "-c", prog], hb, stall_timeout=20)
+    status, rc = sup.run_once([sys.executable, "-c", prog], hb,
+                              stall_timeout=2, poll_interval=0.2)
     assert status == "stall" and rc != 0
-    assert time.time() - t0 < 120  # killed promptly, not after an hour
+    assert time.time() - t0 < 30  # killed promptly, not after an hour
 
 
 def test_pre_existing_heartbeat_does_not_trip(tmp_path):
@@ -68,9 +71,10 @@ def test_pre_existing_heartbeat_does_not_trip(tmp_path):
 
     os.utime(hb, (old, old))
     status, rc = sup.run_once(
-        [sys.executable, "-c", "import time; time.sleep(20)"],
+        [sys.executable, "-c", "import time; time.sleep(2)"],
         hb,
-        stall_timeout=40,
+        stall_timeout=4,
+        poll_interval=0.2,
     )
     # process outlives several poll cycles without being killed, exits 0
     assert status == "ok" and rc == 0
@@ -84,7 +88,7 @@ def test_stall_before_first_heartbeat_is_detected(tmp_path):
     t0 = time.time()
     status, rc = sup.run_once(
         [sys.executable, "-c", "import time; time.sleep(3600)"],
-        hb, stall_timeout=20,
+        hb, stall_timeout=2, poll_interval=0.2,
     )
     assert status == "stall" and rc != 0
-    assert time.time() - t0 < 120
+    assert time.time() - t0 < 30

@@ -381,6 +381,7 @@ def test_checkpoint_rewraps_typed_prng_key(tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_budget_auto_shrink_is_trajectory_neutral(scene, capsys):
     """An oversized pair budget (auto-grow overshoot) shrinks back toward the
     observed peak at a log boundary, and the trajectory is BIT-IDENTICAL to a
