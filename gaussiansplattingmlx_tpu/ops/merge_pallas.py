@@ -207,13 +207,15 @@ def merge_gather(cum: jax.Array, table_cm: jax.Array, max_pairs: int, *,
     """Fused rank-merge + table-row gather.
 
     `cum` as in merge_ranks (strictly increasing below the clamp, compacted);
-    `table_cm` is [TBL_ROWS, n] f32 in the SAME compacted order, carrying real
-    values (integer rows must stay <= 2^24 for exact f32 round-trip).
-    Returns [TBL_ROWS, max_pairs]: column p = table_cm[:, rank(p)], zeros
-    where rank(p) == n.
+    `table_cm` is [R, n] f32 in the SAME compacted order (R a multiple of 8
+    sublanes; TBL_ROWS for the payload-carriage staging, 8 for the lean
+    gather-records staging), carrying real values (integer rows must stay
+    <= 2^24 for exact f32 round-trip).  Returns [R, max_pairs]: column
+    p = table_cm[:, rank(p)], zeros where rank(p) == n.
     """
     n = cum.shape[0]
-    assert table_cm.shape == (TBL_ROWS, n), table_cm.shape
+    R = table_cm.shape[0]
+    assert table_cm.shape == (R, n) and R % 8 == 0, table_cm.shape
     assert n <= 2 ** 24 and max_pairs <= 2 ** 24, (
         "f32-exact value carriage requires n, max_pairs <= 2^24"
     )
@@ -223,7 +225,7 @@ def merge_gather(cum: jax.Array, table_cm: jax.Array, max_pairs: int, *,
     cum_p = jax.lax.dynamic_update_slice(
         cum_p, cum.astype(jnp.int32)[None, :], (0, 0)
     )
-    tbl_p = jnp.zeros((TBL_ROWS, npad), jnp.float32)
+    tbl_p = jnp.zeros((R, npad), jnp.float32)
     tbl_p = jax.lax.dynamic_update_slice(
         tbl_p, table_cm.astype(jnp.float32), (0, 0)
     )
@@ -239,18 +241,18 @@ def merge_gather(cum: jax.Array, table_cm: jax.Array, max_pairs: int, *,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((TBL_ROWS, sub * B), lambda g, *_: (0, g),
+        out_specs=pl.BlockSpec((R, sub * B), lambda g, *_: (0, g),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2 * sub, 1, K), jnp.int32),
-            pltpu.VMEM((2 * sub, TBL_ROWS, K), jnp.float32),
+            pltpu.VMEM((2 * sub, R, K), jnp.float32),
             pltpu.SemaphoreType.DMA((2 * sub,)),
             pltpu.SemaphoreType.DMA((2 * sub,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(_merge_gather_kernel, B=B, K=K, SUB=sub, ng=ng),
-        out_shape=jax.ShapeDtypeStruct((TBL_ROWS, nb * B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, nb * B), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(lo128, cum_p, tbl_p)

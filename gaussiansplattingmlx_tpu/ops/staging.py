@@ -99,6 +99,18 @@ def _use_merge_gather(st: StagingStatic, n: int) -> bool:
     )
 
 
+def _use_gather_records() -> bool:
+    """GSPLAT_STAGE_RECORDS=gather: the (tile, depth) sort carries ONLY the
+    gaussian id; the 11 record floats are gathered AFTER the sort from the
+    compact per-gaussian [N, 11] table (records are per-GAUSSIAN — every pair
+    of a gaussian shares them — so the gather reads N rows, not max_pairs).
+    Trades 10 sorted payload columns + 17 merge table rows at [max_pairs]
+    scale for one [max_pairs]-index row gather (~6.5 ns/index).  Bit-exact
+    either way (same source values, same stable sort permutation); which is
+    faster is a measured A/B (scripts/round5_wrapup.sh)."""
+    return os.environ.get("GSPLAT_STAGE_RECORDS", "payload") == "gather"
+
+
 def _sorted_pairs(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
     """Steps 1-2: fused merge+gather + payload sort.  Returns
     (sorted_cols, tile_start, tile_count, expansion)."""
@@ -109,6 +121,7 @@ def _sorted_pairs(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
 
     depths = jax.lax.stop_gradient(depths)
     use_kernel = _use_merge_gather(st, n)
+    gather_records = _use_gather_records()
     e = binning_mod.expand_pairs(
         rect_min, rect_max, radii, depths,
         st.image_width, st.image_height, st.tile_w, st.tile_h, st.max_pairs,
@@ -122,24 +135,31 @@ def _sorted_pairs(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
     # the 11 record floats pass through unchanged.  No bitcasting: the fused
     # kernel's one-hot MXU contraction reproduces values bit-for-bit.
     rec_kernel = packed[:, list(_PERM)].astype(jnp.float32)  # [N, 11]
-    tbl = jnp.concatenate(
+    head = jnp.stack(
         [
-            jnp.stack(
-                [
-                    e.tmin_x[keep].astype(jnp.float32),
-                    e.tmin_y[keep].astype(jnp.float32),
-                    e.rw[keep].astype(jnp.float32),
-                    e.block_start[keep].astype(jnp.float32),
-                    depths.astype(jnp.float32)[keep],
-                    keep.astype(jnp.float32),
-                ],
-                axis=0,
-            ),
-            rec_kernel[keep].T,
-            jnp.zeros((merge_pallas.TBL_ROWS - 17, n), jnp.float32),
+            e.tmin_x[keep].astype(jnp.float32),
+            e.tmin_y[keep].astype(jnp.float32),
+            e.rw[keep].astype(jnp.float32),
+            e.block_start[keep].astype(jnp.float32),
+            depths.astype(jnp.float32)[keep],
+            keep.astype(jnp.float32),
         ],
         axis=0,
-    )  # [24, n]
+    )  # [6, n]
+    if gather_records:
+        # Lean table: records do not ride the merge (gathered post-sort).
+        tbl = jnp.concatenate(
+            [head, jnp.zeros((2, n), jnp.float32)], axis=0
+        )  # [8, n]
+    else:
+        tbl = jnp.concatenate(
+            [
+                head,
+                rec_kernel[keep].T,
+                jnp.zeros((merge_pallas.TBL_ROWS - 17, n), jnp.float32),
+            ],
+            axis=0,
+        )  # [24, n]
 
     if use_kernel:
         # Merge + gather in ONE Pallas pass: the [max_pairs] row gather
@@ -147,7 +167,7 @@ def _sorted_pairs(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
         # MXU contraction against the table window already in VMEM.
         g = merge_pallas.merge_gather(
             e.cum_keep, tbl, st.max_pairs, interpret=st.interpret
-        )  # [24, max_pairs]
+        )  # [tbl_rows, max_pairs]
     else:
         g = tbl[:, e.rank]  # portable fallback: one [max_pairs] row gather
 
@@ -164,27 +184,40 @@ def _sorted_pairs(st: StagingStatic, packed, rect_min, rect_max, radii, depths):
     depth_keys = jnp.where(valid, g[4], jnp.inf)
     gid = jnp.where(valid, g[5].astype(jnp.int32), 0)
 
-    # --- 2. ONE stable sort on (tile, depth) with records as payloads -------
+    # --- 2. ONE stable sort on (tile, depth) -------------------------------
     # Identical keys + stable + identical gaussian-major input order as the
     # split pipeline => identical permutation (bit-exact parity).
-    # Record row 9 (depth) is NOT carried as a payload: it equals the depth
-    # KEY for valid lanes (both are packed column 10 = p.depths through the
-    # same merge), so the sorted key column is reused and invalid lanes
-    # (key +inf) are re-zeroed to match the zero-pad rows the payload
-    # carried — one elementwise select instead of a 14th sorted column.
-    sorted_13 = jax.lax.sort(
-        (tile_ids, depth_keys)
-        + tuple(g[6 + i] for i in range(11) if i != 9)
-        + (gid,),
-        num_keys=2,
-        is_stable=True,
-    )
-    row9 = jnp.where(
-        jnp.arange(st.max_pairs, dtype=jnp.int32) < e.num_pairs,
-        sorted_13[1],
-        0.0,
-    )
-    sorted_cols = sorted_13[:11] + (row9,) + sorted_13[11:13]
+    if gather_records:
+        # Only the gaussian id rides the sort; records are gathered from the
+        # compact [N, 11] table afterwards.  Invalid lanes (key = +inf, all
+        # stably at the tail past num_pairs) gather row 0 and are re-zeroed —
+        # the exact zeros the payload carriage produced.
+        s_tile, s_depth, s_gid = jax.lax.sort(
+            (tile_ids, depth_keys, gid), num_keys=2, is_stable=True
+        )
+        rec_s = jnp.where(valid[:, None], rec_kernel[s_gid], 0.0)
+        row9 = jnp.where(valid, s_depth, 0.0)
+        sorted_cols = (
+            (s_tile, s_depth)
+            + tuple(rec_s[:, i] for i in range(9))
+            + (row9, rec_s[:, 10], s_gid)
+        )
+    else:
+        # Records as sort payloads.  Record row 9 (depth) is NOT carried: it
+        # equals the depth KEY for valid lanes (both are packed column 10 =
+        # p.depths through the same merge), so the sorted key column is
+        # reused and invalid lanes (key +inf) are re-zeroed to match the
+        # zero-pad rows the payload carried — one elementwise select instead
+        # of a 14th sorted column.
+        sorted_13 = jax.lax.sort(
+            (tile_ids, depth_keys)
+            + tuple(g[6 + i] for i in range(11) if i != 9)
+            + (gid,),
+            num_keys=2,
+            is_stable=True,
+        )
+        row9 = jnp.where(valid, sorted_13[1], 0.0)
+        sorted_cols = sorted_13[:11] + (row9,) + sorted_13[11:13]
     sorted_tile = sorted_cols[0]
     tile_iota = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(

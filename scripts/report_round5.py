@@ -49,6 +49,10 @@ def main():
         ("bench_t16_aligned.log", "headline bench (16x16, aligned A/B)"),
         ("bench_t32.log", "headline bench (32x32, sorted-train staging)"),
         ("bench_t32_aligned.log", "headline bench (32x32, aligned A/B)"),
+        ("bench_t16_gatherrec.log",
+         "headline bench (16x16, gather-records A/B)"),
+        ("bench_t32_gatherrec.log",
+         "headline bench (32x32, gather-records A/B)"),
         ("bench.log", "headline bench (free chip)"),
         ("bench_tile32.log", "headline bench (32x32 tiles A/B)"),
         ("bench_final.log", "headline bench (final)"),

@@ -37,6 +37,13 @@ run bench_t16_aligned 1500 \
     env GSPLAT_BENCH_TILE=16 GSPLAT_TRAIN_STAGING=aligned python bench.py
 run bench_t32_aligned 1500 \
     env GSPLAT_BENCH_TILE=32 GSPLAT_TRAIN_STAGING=aligned python bench.py
+# gather-records staging A/B (3-column sort + post-sort record gather;
+# bit-exact parity asserted in tests/test_staging.py) — adopted as default
+# only if it wins at both tiles
+run bench_t16_gatherrec 1500 \
+    env GSPLAT_BENCH_TILE=16 GSPLAT_STAGE_RECORDS=gather python bench.py
+run bench_t32_gatherrec 1500 \
+    env GSPLAT_BENCH_TILE=32 GSPLAT_STAGE_RECORDS=gather python bench.py
 
 # 3. stage breakdown at the probed-snug budget (sorted-train default)
 run profile 2400 python scripts/profile_breakdown.py --size 800 \

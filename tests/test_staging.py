@@ -515,3 +515,34 @@ def test_train_sorted_tiny_tiles_share_windows():
         scale = np.maximum(np.abs(y).max(), 1e-30)
         np.testing.assert_allclose(x / scale, y / scale, atol=3e-5)
     assert any(np.abs(np.asarray(x)).max() > 0 for x in g2 if np.asarray(x).size)
+
+
+def test_gather_records_staging_bit_exact(monkeypatch):
+    """GSPLAT_STAGE_RECORDS=gather (3-column sort + post-sort record gather
+    from the compact [N,11] table) reproduces the payload-carriage staging
+    bit-for-bit: records, gid, tile ranges, overflow counters — on BOTH the
+    aligned and sorted-train layouts."""
+    params, cam = scene(seed=13)
+    p, packed = _geometry(params, cam)
+    st = staging.StagingStatic(
+        image_width=W, image_height=H, tile_w=TILE, tile_h=TILE,
+        max_pairs=MAX_PAIRS, chunk=CHUNK, num_rec=packed.shape[0],
+        grad_reduce="scatter", interpret=True,
+    )
+    args = (packed, p.rect_min, p.rect_max, p.radii, p.depths)
+
+    base_aligned, base_gid = staging._stage_impl(st, *args)
+    base_train, base_gid_full = staging._stage_train_impl(st, *args)
+
+    monkeypatch.setenv("GSPLAT_STAGE_RECORDS", "gather")
+    g_aligned, g_gid = staging._stage_impl(st, *args)
+    g_train, g_gid_full = staging._stage_train_impl(st, *args)
+
+    for a, b in zip(base_aligned, g_aligned):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(base_gid), np.asarray(g_gid))
+    for a, b in zip(base_train, g_train):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(base_gid_full), np.asarray(g_gid_full)
+    )
