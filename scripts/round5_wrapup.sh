@@ -79,7 +79,26 @@ if [ -n "$PLY" ]; then
       --ply "$PLY" --max-pairs 8388608
 fi
 
-# 6. final report + persist
+# 6. real-demo-data leg (environment-gated): this container has zero egress,
+#    so the fetch fails fast and records a reasoned skip — but if connectivity
+#    ever appears the reference's own lego demo scene trains end-to-end
+#    (fetchers replicate ColmapDataLoader.swift:545-565's bootstrap).
+if run fetch_lego 300 python -c "
+from gaussiansplattingmlx_tpu.data.fetch import fetch_lego_colmap
+print(fetch_lego_colmap('outputs/lego_demo'))
+"; then
+  run train_lego 7200 \
+      python scripts/supervise_train.py --stall-timeout 900 --max-restarts 4 \
+        --out outputs/lego_run -- \
+        python train.py --dataset colmap --root outputs/lego_demo \
+          --output outputs/lego_run --iterations 7000 --sh-degree 4 \
+          --sh-warmup 1000 --resize-factor 0.5
+else
+  echo "--- fetch_lego skipped (no egress in this environment)" \
+      | tee -a $LOG/chain.log
+fi
+
+# 7. final report + persist
 run report 600 python scripts/report_round5.py
 run persist 900 python scripts/persist_artifacts.py --round 5
 
