@@ -772,6 +772,36 @@ def _segsum_kernel(bounds_ref, gid_hbm, rows_hbm, out_ref, rows_vmem,
     out_ref[...] = acc
 
 
+def _segsum_call(st: SegsumStatic, bounds, gid_s, rows_s):
+    """The block segment-sum pallas_call on PRE-SORTED inputs — split out of
+    _segment_reduce_pallas so the fine profiler can time the kernel apart
+    from the gid sort."""
+    B = st.block_b
+    nblk = -(-st.num_rec // B)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((B, 16), lambda b, *_: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, REC_DIM, st.chunk), jnp.float32),
+            pltpu.VMEM((2, 1, st.chunk), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_segsum_kernel, st=st),
+        out_shape=jax.ShapeDtypeStruct((nblk * B, 16), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=st.interpret,
+    )(bounds, gid_s, rows_s)
+
+
 def _segment_reduce_pallas(st: SegsumStatic, grad_cm, gid):
     """[16, P] pair-gradient rows + [P] Gaussian ids -> [N, 16] sums."""
     B = st.block_b
@@ -796,29 +826,7 @@ def _segment_reduce_pallas(st: SegsumStatic, grad_cm, gid):
         cols[0], jnp.arange(nblk + 1, dtype=jnp.int32) * B, side="left"
     ).astype(jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec((B, 16), lambda b, *_: (b, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, REC_DIM, st.chunk), jnp.float32),
-            pltpu.VMEM((2, 1, st.chunk), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_segsum_kernel, st=st),
-        out_shape=jax.ShapeDtypeStruct((nblk * B, 16), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=st.interpret,
-    )(bounds, gid_s, rows_s)
-    out = out[: st.num_rec]
+    out = _segsum_call(st, bounds, gid_s, rows_s)[: st.num_rec]
     if st.live_rows != tuple(range(11)):
         # Swept column j holds the sum of grad row live_rows[j]; scatter the
         # columns back to their kernel-row positions (dropped rows -> 0).

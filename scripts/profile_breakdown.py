@@ -373,6 +373,60 @@ def fine_staging(sst, packed, p, args):
 
     cot = records_cm * 1e-3  # stand-in cotangent buffer, same shape
 
+    # Segsum split: the gid sort vs the MXU block-reduce kernel.
+    live = rp.RASTER_LIVE_ROWS
+
+    @jax.jit
+    def f_gidsort(g_cm, gid_a):
+        sent = (-(-n // 128)) * 128
+        gs = jnp.where(gid_a < n, gid_a, sent)
+        return jax.lax.sort(
+            (gs,) + tuple(g_cm[i] for i in live), num_keys=1
+        )
+
+    gid_sorted_cols = f_gidsort(cot, gid_aligned)
+
+    @jax.jit
+    def f_segkernel(cols):
+        sstt = rp.SegsumStatic(
+            num_rec=n, num_aligned=num_aligned,
+            chunk=seg_chunk, block_b=128, interpret=False,
+        )
+        gid_s = cols[0].reshape(1, num_aligned)
+        rows_s = jnp.concatenate(
+            [jnp.stack(cols[1:], axis=0),
+             jnp.zeros((rp.REC_DIM - len(live), num_aligned), jnp.float32)],
+            axis=0,
+        )
+        nblk = -(-n // 128)
+        bounds = jnp.searchsorted(
+            cols[0], jnp.arange(nblk + 1, dtype=jnp.int32) * 128, side="left"
+        ).astype(jnp.int32)
+        return rp._segsum_call(sstt, bounds, gid_s, rows_s)
+
+    # Gather-records A/B pieces (GSPLAT_STAGE_RECORDS=gather): lean 8-row
+    # merge, 3-column sort, post-sort record gather from the [N,11] table.
+    tbl_lean = jnp.concatenate(
+        [tbl[:6], jnp.zeros((2, n), jnp.float32)], axis=0
+    )
+
+    @jax.jit
+    def f_merge_lean(cum, tbl8):
+        return merge_pallas.merge_gather(cum, tbl8, st.max_pairs)
+
+    @jax.jit
+    def f_sort3(tile_ids, depth_keys, gid):
+        return jax.lax.sort(
+            (tile_ids, depth_keys, gid), num_keys=2, is_stable=True
+        )
+
+    s3 = f_sort3(tile_ids, depth_keys, gid)
+
+    @jax.jit
+    def f_recgather(s_gid, num_pairs):
+        v = pp < num_pairs
+        return jnp.where(v[:, None], rec_kernel[s_gid], 0.0)
+
     print("--- fused staging fine breakdown ---", flush=True)
     print(f"expand_pairs      {timeit(f_expand, rect_min, rect_max, radii, depths):8.2f} ms", flush=True)
     print(f"table build+merge {timeit(f_merge, e.cum_keep, tbl):8.2f} ms", flush=True)
@@ -381,6 +435,12 @@ def fine_staging(sst, packed, p, args):
     print(f"tile ranges       {timeit(f_ranges, sorted_cols[0]):8.2f} ms", flush=True)
     print(f"relayout kernel   {timeit(f_relayout, sorted_cols, tile_start, tile_count):8.2f} ms", flush=True)
     print(f"grad segment-sum  {timeit(f_segsum, cot, gid_aligned):8.2f} ms", flush=True)
+    print(f"  segsum gid sort {timeit(f_gidsort, cot, gid_aligned):8.2f} ms", flush=True)
+    print(f"  segsum kernel   {timeit(f_segkernel, gid_sorted_cols):8.2f} ms", flush=True)
+    print("--- gather-records A/B pieces ---", flush=True)
+    print(f"merge lean (8row) {timeit(f_merge_lean, e.cum_keep, tbl_lean):8.2f} ms", flush=True)
+    print(f"pair sort (3col)  {timeit(f_sort3, tile_ids, depth_keys, gid):8.2f} ms", flush=True)
+    print(f"record gather     {timeit(f_recgather, s3[2], e.num_pairs):8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
