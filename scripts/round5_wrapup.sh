@@ -4,6 +4,8 @@
 # timeout-bounded and failure-isolated (a dead leg records its log and the
 # chain moves on — no retry-into-wedge, one TPU client at a time); results
 # are reported incrementally (scripts/report_round5.py is idempotent).
+# Legs are ordered by VERDICT value — held-out quality proof and inference
+# fps first — so a round-clock cutoff loses the least important tail.
 set -u
 cd /root/repo
 mkdir -p outputs/round5
@@ -19,44 +21,21 @@ run() {  # run <name> <timeout_s> <cmd...>
   return $rc
 }
 
-# 0. heavy+slow test sweep on CPU (VERDICT r4 item 8: the 2-process multihost
-#    suites must be green at HEAD every round) — no TPU contention.
-run tests_heavy 2400 env JAX_PLATFORMS=cpu GSPLAT_PLATFORM=cpu \
-    python -m pytest tests/ -q -m "heavy or slow" -p no:cacheprovider
-
 # 1. kernel parity on the real chip (cheap, catches regressions first;
 #    includes the sorted-order training backward since round 5)
 run tpu_check 1200 python scripts/tpu_check.py
 
-# 2. headline bench: sorted-train staging at 16x16 and 32x32 (bench.py
-#    defaults to tile 32 since round 4 — set the tile explicitly on every
-#    leg), plus the aligned-staging A/Bs
-run bench_t16 1500 env GSPLAT_BENCH_TILE=16 python bench.py
-run bench_t32 1500 env GSPLAT_BENCH_TILE=32 python bench.py
-run bench_t16_aligned 1500 \
-    env GSPLAT_BENCH_TILE=16 GSPLAT_TRAIN_STAGING=aligned python bench.py
-run bench_t32_aligned 1500 \
-    env GSPLAT_BENCH_TILE=32 GSPLAT_TRAIN_STAGING=aligned python bench.py
-# gather-records staging A/B (3-column sort + post-sort record gather;
-# bit-exact parity asserted in tests/test_staging.py) — adopted as default
-# only if it wins at both tiles
-run bench_t16_gatherrec 1500 \
-    env GSPLAT_BENCH_TILE=16 GSPLAT_STAGE_RECORDS=gather python bench.py
-run bench_t32_gatherrec 1500 \
-    env GSPLAT_BENCH_TILE=32 GSPLAT_STAGE_RECORDS=gather python bench.py
-
-# 3. stage breakdown at the probed-snug budget (sorted-train default)
-run profile 2400 python scripts/profile_breakdown.py --size 800 \
-    --gaussians 100000 --max-pairs 1474560 --fine
-
-# 4. at-scale sorted-vs-aligned training gradient parity (the denormal-bug
-#    class only manifests at large segmented grids)
-run sorted_grad_check 2400 python scripts/sorted_grad_scale_check.py
-
-run report_early 600 python scripts/report_round5.py
-
-# 5. inference fps: batched (device throughput) + per-dispatch (tunnel
-#    reference point) in one leg each — render_cli prints both since round 5
+# 2. held-out quality proof (VERDICT item 1) + inference fps (item 2)
+PLY=$(ls -t outputs/flagship_sh4/iteration_*.ply 2>/dev/null | head -1)
+if [ -n "$PLY" ]; then
+  run eval_holdout 2400 python eval.py --dataset colmap \
+      --root outputs/vendor_scene_800 --resize-factor 1.0 \
+      --ply "$PLY" --views 0,9,18,27 --max-pairs 16777216 \
+      --save-renders outputs/round5/eval_holdout
+  run renderfps_sh4 2400 python render_cli.py \
+      --ply "$PLY" --orbit 4 --out outputs/round5/renders_sh4 \
+      --bench-frames 64 --bench-batch 8 --white-background
+fi
 if [ -f outputs/flagship_sh4/ckpt_2500.npz ]; then
   run ckpt2k_ply 600 python scripts/ckpt_to_ply.py \
       outputs/flagship_sh4/ckpt_2500.npz -o /tmp/small_model.ply
@@ -64,20 +43,40 @@ if [ -f outputs/flagship_sh4/ckpt_2500.npz ]; then
       --ply /tmp/small_model.ply --orbit 4 --out outputs/round5/renders_small \
       --bench-frames 64 --bench-batch 8 --white-background
 fi
-PLY=$(ls -t outputs/flagship_sh4/iteration_*.ply 2>/dev/null | head -1)
+run report_quality 600 python scripts/report_round5.py
+
+# 3. headline bench: sorted-train staging at 16x16 and 32x32 (bench.py
+#    defaults to tile 32 since round 4 — set the tile explicitly on every
+#    leg), the aligned-staging A/Bs, and the gather-records A/B
+#    (3-column sort + post-sort record gather; bit-exact parity asserted in
+#    tests/test_staging.py — adopted as default only if it wins)
+run bench_t16 1500 env GSPLAT_BENCH_TILE=16 python bench.py
+run bench_t32 1500 env GSPLAT_BENCH_TILE=32 python bench.py
+run bench_t16_gatherrec 1500 \
+    env GSPLAT_BENCH_TILE=16 GSPLAT_STAGE_RECORDS=gather python bench.py
+run bench_t32_gatherrec 1500 \
+    env GSPLAT_BENCH_TILE=32 GSPLAT_STAGE_RECORDS=gather python bench.py
+run bench_t16_aligned 1500 \
+    env GSPLAT_BENCH_TILE=16 GSPLAT_TRAIN_STAGING=aligned python bench.py
+run bench_t32_aligned 1500 \
+    env GSPLAT_BENCH_TILE=32 GSPLAT_TRAIN_STAGING=aligned python bench.py
+run report_bench 600 python scripts/report_round5.py
+
+# 4. full-view eval + stage breakdown + at-scale grad parity
 if [ -n "$PLY" ]; then
-  run renderfps_sh4 2400 python render_cli.py \
-      --ply "$PLY" --orbit 4 --out outputs/round5/renders_sh4 \
-      --bench-frames 64 --bench-batch 8 --white-background
-  # independent eval.py passes (campaign already evaluated inline)
-  run eval_holdout 2400 python eval.py --dataset colmap \
-      --root outputs/vendor_scene_800 --resize-factor 1.0 \
-      --ply "$PLY" --views 0,9,18,27 --max-pairs 8388608 \
-      --save-renders outputs/round5/eval_holdout
   run eval_all 3600 python eval.py --dataset colmap \
       --root outputs/vendor_scene_800 --resize-factor 1.0 \
-      --ply "$PLY" --max-pairs 8388608
+      --ply "$PLY" --max-pairs 16777216
 fi
+run profile 2400 python scripts/profile_breakdown.py --size 800 \
+    --gaussians 100000 --max-pairs 1474560 --fine
+run sorted_grad_check 2400 python scripts/sorted_grad_scale_check.py
+
+# 5. heavy+slow test sweep on CPU (VERDICT r4 item 8: the 2-process multihost
+#    suites must be green at HEAD every round) — no TPU contention, and this
+#    round they were ALSO run mid-round at HEAD during the campaign.
+run tests_heavy 2400 env JAX_PLATFORMS=cpu GSPLAT_PLATFORM=cpu \
+    python -m pytest tests/ -q -m "heavy or slow" -p no:cacheprovider
 
 # 6. real-demo-data leg (environment-gated): this container has zero egress,
 #    so the fetch fails fast and records a reasoned skip — but if connectivity
