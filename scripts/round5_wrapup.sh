@@ -60,6 +60,11 @@ run bench_t16_aligned 1500 \
     env GSPLAT_BENCH_TILE=16 GSPLAT_TRAIN_STAGING=aligned python bench.py
 run bench_t32_aligned 1500 \
     env GSPLAT_BENCH_TILE=32 GSPLAT_TRAIN_STAGING=aligned python bench.py
+# on-chip value parity for the gather-records path (the round-4 denormal
+# lesson: validate representation changes on real hardware, not just
+# interpret mode) — prerequisite for ever making it the default
+run tpu_check_gatherrec 1200 \
+    env GSPLAT_STAGE_RECORDS=gather python scripts/tpu_check.py
 run report_bench 600 python scripts/report_round5.py
 
 # 4. full-view eval + stage breakdown + at-scale grad parity
