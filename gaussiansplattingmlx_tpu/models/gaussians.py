@@ -197,6 +197,29 @@ def active_mask(params: GaussianParams, num_active) -> jax.Array:
     return (jnp.arange(params.capacity) < num_active).astype(jnp.float32)
 
 
+def apply_sh_warmup(params: GaussianParams, step, warmup: int,
+                    sh_degree: int) -> GaussianParams:
+    """INRIA-style SH-degree warmup (ModelConfig.sh_warmup_interval) as a
+    traced band mask: rest-band row k holds SH index k+1 of degree
+    floor(sqrt(k+1)); bands above step // warmup contribute zero forward and
+    receive zero gradient.  The degree table is static, the active degree is
+    traced from `step`, so ramping bands in never recompiles.  warmup <= 0
+    is the identity (reference behaviour: all bands live from iteration 0).
+    Shared by the single-device and data-parallel train steps so the two
+    cannot drift (replicated math under shard_map)."""
+    if warmup <= 0:
+        return params
+    n_rest = (sh_degree + 1) ** 2 - 1
+    rest_row_degree = jnp.asarray(
+        np.floor(np.sqrt(np.arange(1, n_rest + 1))).astype(np.float32)
+    )
+    active_deg = (step // warmup).astype(jnp.float32)
+    band = (rest_row_degree <= active_deg).astype(params.features_rest.dtype)
+    return dataclasses.replace(
+        params, features_rest=params.features_rest * band[None, :, None]
+    )
+
+
 def learning_rates(
     step,
     total: int,

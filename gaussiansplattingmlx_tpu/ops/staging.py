@@ -445,28 +445,30 @@ def _stage_fwd(st, packed, rect_min, rect_max, radii, depths):
     return staged, gid_aligned
 
 
-def _stage_bwd(st, gid_aligned, cot: StagedPairs):
-    """d packed = per-Gaussian segment reduction of the record-buffer
-    cotangent — the same reduction the split pipeline's gather transpose
-    performs (sort + MXU segment sum, or the XLA scatter-add fallback)."""
-    g_cm = cot.records_cm
-    num_aligned = g_cm.shape[1]
+def _reduce_record_cotangent(st: StagingStatic, g_cm, gid):
+    """Shared backward for BOTH staging VJPs (aligned and sorted-train):
+    d packed = per-Gaussian segment reduction of the record-buffer cotangent
+    — the same reduction the split pipeline's gather transpose performs
+    (sort + MXU segment sum, or the XLA scatter-add fallback).  One body so
+    the two custom VJPs cannot drift (live-rows set, row-4 copy, layout
+    perm)."""
+    total = g_cm.shape[1]
     seg_chunk = (
-        rp.pick_seg_chunk(num_aligned, st.chunk)
+        rp.pick_seg_chunk(total, st.chunk)
         if st.grad_reduce == "segsum" else 0
     )
     if seg_chunk:
         sst = rp.SegsumStatic(
-            num_rec=st.num_rec, num_aligned=num_aligned,
+            num_rec=st.num_rec, num_aligned=total,
             chunk=seg_chunk, block_b=128, interpret=st.interpret,
             live_rows=rp.RASTER_LIVE_ROWS,
         )
-        grad_rec = rp._segment_reduce_pallas(sst, g_cm, gid_aligned)
+        grad_rec = rp._segment_reduce_pallas(sst, g_cm, gid)
         grad_rec = grad_rec.at[:, 4].set(grad_rec[:, 3])  # d_c10 = d_c01
     else:
-        valid = gid_aligned < st.num_rec
+        valid = gid < st.num_rec
         rows = jnp.where(valid[:, None], g_cm.T, 0.0)
-        idx = jnp.where(valid, gid_aligned, 0)
+        idx = jnp.where(valid, gid, 0)
         grad_rec = jnp.zeros((st.num_rec, rp.REC_DIM), jnp.float32).at[
             idx
         ].add(rows)
@@ -482,6 +484,10 @@ def _stage_bwd(st, gid_aligned, cot: StagedPairs):
         jnp.zeros((n,), jnp.float32),  # radii
         jnp.zeros((n,), jnp.float32),  # depths
     )
+
+
+def _stage_bwd(st, gid_aligned, cot: StagedPairs):
+    return _reduce_record_cotangent(st, cot.records_cm, gid_aligned)
 
 
 stage_pairs.defvjp(_stage_fwd, _stage_bwd)
@@ -555,43 +561,19 @@ def _stage_train_fwd(st, packed, rect_min, rect_max, radii, depths):
 
 
 def _stage_train_bwd(st, gid_full, cot: "SortedPairs"):
-    g_cm = cot.records_cm
-    total = g_cm.shape[1]
-    seg_chunk = (
-        rp.pick_seg_chunk(total, st.chunk)
-        if st.grad_reduce == "segsum" else 0
-    )
-    if seg_chunk:
-        sst = rp.SegsumStatic(
-            num_rec=st.num_rec, num_aligned=total,
-            chunk=seg_chunk, block_b=128, interpret=st.interpret,
-            live_rows=rp.RASTER_LIVE_ROWS,
-        )
-        grad_rec = rp._segment_reduce_pallas(sst, g_cm, gid_full)
-        grad_rec = grad_rec.at[:, 4].set(grad_rec[:, 3])  # d_c10 = d_c01
-    else:
-        valid = gid_full < st.num_rec
-        rows = jnp.where(valid[:, None], g_cm.T, 0.0)
-        idx = jnp.where(valid, gid_full, 0)
-        grad_rec = jnp.zeros((st.num_rec, rp.REC_DIM), jnp.float32).at[
-            idx
-        ].add(rows)
-    d_packed = grad_rec[:, list(_PERM)]
-    n = st.num_rec
-    return (
-        d_packed,
-        jnp.zeros((n, 2), jnp.float32),
-        jnp.zeros((n, 2), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
-    )
+    return _reduce_record_cotangent(st, cot.records_cm, gid_full)
 
 
 stage_pairs_train.defvjp(_stage_train_fwd, _stage_train_bwd)
 
 
 class SortedPairs(NamedTuple):
-    records_cm: jax.Array  # [16, max_pairs + chunk] SORTED-order records
+    # [16, max_pairs + pad] SORTED-order records.  pad differs by producer:
+    # stage_pairs_sorted (inference) pads exactly `chunk` columns;
+    # stage_pairs_train pads _train_pad(st) (>= chunk, total rounded to a
+    # 512 multiple for the segment-reduce DMA).  Consumers must size from
+    # records_cm.shape[1], never from max_pairs + chunk.
+    records_cm: jax.Array
     tile_start: jax.Array  # [num_tiles] raw (unaligned) starts
     tile_count: jax.Array  # [num_tiles]
     num_pairs: jax.Array  # []

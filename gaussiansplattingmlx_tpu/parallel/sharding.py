@@ -31,7 +31,6 @@ Built on `shard_map` so the Pallas rasterizer runs rank-identical per shard
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Dict, Optional
 
 import jax
@@ -110,14 +109,9 @@ def make_dp_train_step(
             "(exactness)"
         )
 
-    # SH-degree warmup — same traced band mask as the single-device step
-    # (train/trainer.py make_train_step); replicated math, no collectives.
+    # SH-degree warmup — the same traced band mask as the single-device step
+    # (gaussians.apply_sh_warmup); replicated math, no collectives.
     warmup = int(getattr(cfg.model, "sh_warmup_interval", 0))
-    if warmup > 0:
-        n_rest = (sh_degree + 1) ** 2 - 1
-        rest_row_degree = jnp.asarray(
-            np.floor(np.sqrt(np.arange(1, n_rest + 1))).astype(np.float32)
-        )
 
     def per_device(state: TrainState, views: Dict, view_idx):
         if batched_views:
@@ -129,16 +123,10 @@ def make_dp_train_step(
         band = jax.lax.axis_index("tile") * band_h
 
         def loss_fn(ptuple):
-            params = GaussianParams.from_tuple(ptuple)
-            if warmup > 0:
-                active_deg = (state.step // warmup).astype(jnp.float32)
-                band_mask = (rest_row_degree <= active_deg).astype(
-                    params.features_rest.dtype
-                )
-                params = dataclasses.replace(
-                    params,
-                    features_rest=params.features_rest * band_mask[None, :, None],
-                )
+            params = gaussians.apply_sh_warmup(
+                GaussianParams.from_tuple(ptuple), state.step, warmup,
+                sh_degree,
+            )
             means3d, shs, opacity, scales, rotations = gaussians.activations(
                 params, active
             )

@@ -103,9 +103,16 @@ def split_and_prune(
         # alone).  No reference counterpart (single-scene iOS app never
         # evaluates novel views).  camera_centers are centering-shifted.
         assert camera_centers is not None
-        d2 = jnp.sum(
-            (params.xyz[:, None, :] - camera_centers[None, :, :]) ** 2, axis=-1
-        )
+        # |x - c|^2 = |x|^2 + |c|^2 - 2 x.c in matmul form: one [N, V] MXU
+        # product instead of a [N, V, 3] broadcast temporary (~400 MB at the
+        # 1M-gaussian capacity if XLA declines to fuse the rank-3 form).
+        # Only the SIGN of d2 - r^2 matters; the cancellation error of the
+        # expanded form (~1e-3 relative at these magnitudes) is far below
+        # the prune radius' own arbitrariness.
+        xx = jnp.sum(params.xyz * params.xyz, axis=1, keepdims=True)  # [N,1]
+        cc = jnp.sum(camera_centers * camera_centers, axis=1)  # [V]
+        xc = params.xyz @ camera_centers.T  # [N, V]
+        d2 = xx + cc[None, :] - 2.0 * xc
         near = jnp.min(d2, axis=1) < prune_near_cameras ** 2
         prune = jnp.logical_or(prune, jnp.logical_and(active, near))
     if prune_needle_ratio > 0:

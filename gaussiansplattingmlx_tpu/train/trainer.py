@@ -85,16 +85,7 @@ def make_train_step(
 ) -> Callable:
     """Build the jitted train step.  Retraces per parameter capacity."""
 
-    # SH-degree warmup (ModelConfig.sh_warmup_interval): rest-band row k of
-    # features_rest holds SH index k+1, whose degree is floor(sqrt(k+1)).
-    # The per-row degree table is static; the active degree is traced from
-    # state.step, so ramping bands in never retriggers compilation.
     warmup = int(getattr(cfg.model, "sh_warmup_interval", 0))
-    if warmup > 0:
-        n_rest = (sh_degree + 1) ** 2 - 1
-        rest_row_degree = jnp.asarray(
-            np.floor(np.sqrt(np.arange(1, n_rest + 1))).astype(np.float32)
-        )
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, views: Dict, view_idx):
@@ -102,16 +93,10 @@ def make_train_step(
         active = gaussians.active_mask(state.params, state.num_active)
 
         def loss_fn(ptuple):
-            params = GaussianParams.from_tuple(ptuple)
-            if warmup > 0:
-                active_deg = (state.step // warmup).astype(jnp.float32)
-                band_mask = (rest_row_degree <= active_deg).astype(
-                    params.features_rest.dtype
-                )
-                params = dataclasses.replace(
-                    params,
-                    features_rest=params.features_rest * band_mask[None, :, None],
-                )
+            params = gaussians.apply_sh_warmup(
+                GaussianParams.from_tuple(ptuple), state.step, warmup,
+                sh_degree,
+            )
             means3d, shs, opacity, scales, rotations = gaussians.activations(
                 params, active
             )

@@ -272,6 +272,10 @@ def main(argv=None):
             # Per-dispatch reference point (the round-2/round-4 metric):
             # same frames, one RPC per frame — the gap to the batched number
             # is pure host/tunnel dispatch overhead, not render time.
+            # Rebuild from the FINAL cfg: the batched loop may have grown
+            # max_pairs after an overflow, and both legs must use the same
+            # budget for the overhead delta to mean anything.
+            render_view = make_render_view(cfg)
             singles = [cam_tensors(i, n_frames) for i in range(n_frames)]
             color, _, _, _ = render_view(*singles[0])
             float(color[0, 0, 0])
@@ -279,10 +283,13 @@ def main(argv=None):
             outs = [render_view(*c) for c in singles]
             float(outs[-1][0][0, 0, 0])
             dt1 = time.perf_counter() - t0
+            clipped1 = sum(float(o[2]) for o in outs)  # audit, untimed
+            note = (f" [OVERFLOW: {clipped1:.0f} pairs clipped]"
+                    if clipped1 else "")
             print(f"  per-dispatch: {n_frames / dt1:.1f} frames/s "
                   f"({1e3 * dt1 / n_frames:.1f} ms/frame) — "
                   f"dispatch overhead "
-                  f"{1e3 * (dt1 - dt) / n_frames:+.1f} ms/frame")
+                  f"{1e3 * (dt1 - dt) / n_frames:+.1f} ms/frame{note}")
 
 
 if __name__ == "__main__":
