@@ -75,6 +75,10 @@ if [ -n "$PLY" ]; then
 fi
 run profile 2400 python scripts/profile_breakdown.py --size 800 \
     --gaussians 100000 --max-pairs 1474560 --fine
+# tile-32 fine profile (the bench default tile): snug budget from the t32
+# bench probe (552k pairs -> 573440 = 1.04x rounded to the 512 quantum)
+run profile_t32 2400 python scripts/profile_breakdown.py --size 800 \
+    --gaussians 100000 --tile 32 --max-pairs 573440 --fine
 run sorted_grad_check 2400 python scripts/sorted_grad_scale_check.py
 
 # 5. heavy+slow test sweep on CPU (VERDICT r4 item 8: the 2-process multihost
