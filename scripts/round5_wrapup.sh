@@ -36,6 +36,13 @@ if [ -n "$PLY" ]; then
       --ply "$PLY" --orbit 4 --out outputs/round5/renders_sh4 \
       --bench-frames 64 --bench-batch 8 --white-background
 fi
+# held-out forensics on the final checkpoint: which cull (floater / SH /
+# giant) recovers the most dB — the next-knob signal if quality misses
+CKPT=$(ls -t outputs/flagship_sh4/ckpt_*.npz 2>/dev/null | head -1)
+if [ -n "$CKPT" ]; then
+  run diagnose_holdout 2400 python scripts/diagnose_holdout.py "$CKPT" \
+      --dataset-root outputs/vendor_scene_800 --max-pairs 16777216
+fi
 if [ -f outputs/flagship_sh4/ckpt_2500.npz ]; then
   run ckpt2k_ply 600 python scripts/ckpt_to_ply.py \
       outputs/flagship_sh4/ckpt_2500.npz -o /tmp/small_model.ply
