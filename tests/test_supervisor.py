@@ -71,9 +71,12 @@ def test_pre_existing_heartbeat_does_not_trip(tmp_path):
 
     os.utime(hb, (old, old))
     status, rc = sup.run_once(
-        [sys.executable, "-c", "import time; time.sleep(2)"],
+        # Wide margin: under a loaded box interpreter startup alone can take
+        # seconds, and the stall clock runs from LAUNCH (the pre-existing
+        # heartbeat must not count) — the timeout must dwarf startup+sleep.
+        [sys.executable, "-c", "import time; time.sleep(1)"],
         hb,
-        stall_timeout=4,
+        stall_timeout=15,
         poll_interval=0.2,
     )
     # process outlives several poll cycles without being killed, exits 0
