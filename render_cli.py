@@ -217,18 +217,20 @@ def main(argv=None):
         B = max(1, min(args.bench_batch, args.bench_frames))
         n_frames = -(-args.bench_frames // B) * B  # round up to full batches
 
-        def make_render_batch(rcfg):
-            rv = make_render_view(rcfg)  # inlines when traced inside jit
+        from gaussiansplattingmlx_tpu.render import render_many
 
+        def make_render_batch(rcfg):
             @jax.jit
             def render_batch(view, proj, center, fx, fy, fovx, fovy):
-                def body(c):
-                    color, _, ovfl, npair = rv(*c)
-                    return color, ovfl, npair
-
-                return jax.lax.map(
-                    body, (view, proj, center, fx, fy, fovx, fovy)
+                colors, _, npairs, ovfl = render_many(
+                    means, shs, opacity, scales, rots,
+                    view, proj, center, fovx, fovy, fx, fy,
+                    args.width, args.height, sh_degree,
+                    raster_cfg=rcfg,
+                    white_background=args.white_background,
+                    backend=args.backend,
                 )
+                return colors, ovfl, npairs
 
             return render_batch
 

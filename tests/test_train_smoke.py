@@ -633,3 +633,42 @@ def test_sh_warmup_gates_rest_bands(scene):
     s10_plain = step_at(tr_plain, 10)
     for a, b in zip(s10.params.as_tuple(), s10_plain.params.as_tuple()):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_render_many_matches_per_view(scene):
+    """render_many (one lax.map graph over stacked cameras) reproduces the
+    per-view render() loop exactly — the batched serving/viewer path."""
+    from gaussiansplattingmlx_tpu.render import render_many
+
+    pts, cols, cams, images = scene
+    params, _ = gaussians.create_from_points(pts, cols, sh_degree=0,
+                                             capacity=len(pts))
+    params = dataclasses.replace(
+        params,
+        scales=jnp.full((len(pts), 3), np.log(0.15), jnp.float32),
+        opacity=jnp.full((len(pts), 1), 2.0, jnp.float32),
+    )
+    means, shs, opacity, scales, rots = gaussians.activations(params)
+    ts = [c.tensors() for c in cams[:3]]
+    stack = lambda k: jnp.stack([jnp.asarray(t[k]) for t in ts])
+    # inference=False: bit-exact vs the per-view training forward below
+    # (the default inference fast path regroups fp at ULP level; its own
+    # parity is covered by tests/test_staging.py).
+    colors, depths, npairs, ovfl = render_many(
+        means, shs, opacity, scales, rots,
+        stack("view"), stack("proj"), stack("camera_center"),
+        stack("fov_x"), stack("fov_y"), stack("focal_x"), stack("focal_y"),
+        W, H, 0, raster_cfg=RASTER, backend="reference", inference=False,
+    )
+    assert float(jnp.sum(ovfl)) == 0
+    # XLA compiles the lax.map body separately from the eager per-view
+    # oracle, so fp regrouping at ~1e-5 relative is expected; the discrete
+    # outputs (pair counts) must be exact.
+    for i in range(3):
+        out = render_view(params, cams[i])
+        np.testing.assert_allclose(np.asarray(colors[i]),
+                                   np.asarray(out.color),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(depths[i]),
+                                   np.asarray(out.depth),
+                                   rtol=1e-4, atol=1e-4)
